@@ -1,0 +1,116 @@
+"""Bit-faithful parity of the JAX models vs the torch reference.
+
+Strategy (SURVEY.md §4): random-init the reference torch model (including
+randomized BN affine + running stats so every converter mapping is
+load-bearing), convert its state_dict with our converter, and compare forward
+outputs on random inputs. This is exactly the guarantee users need for
+official ``pose_hrnet_*`` / ``pose_resnet_*`` checkpoints
+(reference hrnet.py:192-216 smoke recipe), without shipping weights.
+"""
+
+import numpy as np
+import pytest
+
+import conftest
+
+
+def _randomize_torch_bn(model, gen):
+    import torch
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.copy_(torch.from_numpy(
+                    gen.uniform(0.5, 1.5, m.weight.shape).astype(np.float32)))
+                m.bias.copy_(torch.from_numpy(
+                    gen.uniform(-0.2, 0.2, m.bias.shape).astype(np.float32)))
+                m.running_mean.copy_(torch.from_numpy(
+                    gen.uniform(-0.5, 0.5, m.running_mean.shape).astype(np.float32)))
+                m.running_var.copy_(torch.from_numpy(
+                    gen.uniform(0.5, 2.0, m.running_var.shape).astype(np.float32)))
+
+
+def _forward_torch(model, x_nchw):
+    import torch
+    model.eval()
+    with torch.no_grad():
+        return model(torch.from_numpy(x_nchw)).numpy()
+
+
+@pytest.mark.parametrize('c,hw', [(32, (64, 64))])
+def test_hrnet_parity(c, hw, rng):
+    conftest.reference_on_path()
+    from models_.hrnet import HRNet as TorchHRNet  # reference model
+
+    import jax
+    from simple_hrnet_tpu.models import convert, hrnet
+    from simple_hrnet_tpu.models import layers as L
+
+    torch_model = TorchHRNet(c=c, nof_joints=17)
+    _randomize_torch_bn(torch_model, rng)
+    x = rng.standard_normal((2, 3, *hw)).astype(np.float32)
+    ref = _forward_torch(torch_model, x)
+
+    tree = convert.state_dict_to_tree(torch_model.state_dict())
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    out = jax.jit(hrnet.apply)(tree, x_nhwc)
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+    # Folded-BN inference path must match the unfolded one.
+    folded = L.fold_batch_norm(tree)
+    out_folded = jax.jit(hrnet.apply)(folded, x_nhwc)
+    out_folded = np.transpose(np.asarray(out_folded), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_folded, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize('size,hw', [(18, (64, 64)), (50, (64, 64))])
+def test_poseresnet_parity(size, hw, rng):
+    conftest.reference_on_path()
+    import torch
+    from models_.poseresnet import PoseResNet as TorchPoseResNet
+
+    import jax
+    from simple_hrnet_tpu.models import convert, poseresnet
+
+    if size in (18, 34):
+        # Reference BasicBlock builds conv2 with in_channels=inplanes
+        # (modules.py:51), which crashes for PoseResNet-18/34 the moment a
+        # stride-2 stage changes the width. Verify the latent bug, then skip.
+        torch_model = TorchPoseResNet(resnet_size=size, nof_joints=17)
+        with pytest.raises(RuntimeError):
+            with torch.no_grad():
+                torch_model(torch.zeros(1, 3, *hw))
+        return
+
+    torch_model = TorchPoseResNet(resnet_size=size, nof_joints=17)
+    _randomize_torch_bn(torch_model, rng)
+    x = rng.standard_normal((2, 3, *hw)).astype(np.float32)
+    ref = _forward_torch(torch_model, x)
+
+    tree = convert.state_dict_to_tree(torch_model.state_dict())
+    out = jax.jit(lambda p, v: poseresnet.apply(p, v, resnet_size=size))(
+        tree, np.transpose(x, (0, 2, 3, 1)))
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_roundtrip_state_dict(rng):
+    """tree -> state_dict -> tree is the identity (export path)."""
+    import jax
+    from simple_hrnet_tpu.models import convert, poseresnet
+
+    tree = poseresnet.init(jax.random.PRNGKey(0), resnet_size=50)
+    sd = convert.tree_to_state_dict(tree)
+    tree2 = convert.state_dict_to_tree(sd)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(tree)
+    flat2 = jax.tree_util.tree_leaves_with_path(tree2)
+    assert len(flat1) == len(flat2)
+    for (p1, v1), (p2, v2) in zip(sorted(flat1, key=lambda t: str(t[0])),
+                                  sorted(flat2, key=lambda t: str(t[0]))):
+        assert str(p1) == str(p2)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
