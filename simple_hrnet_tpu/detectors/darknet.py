@@ -1,0 +1,346 @@
+"""Darknet network definition, cfg parsing and ``.weights`` loading in JAX.
+
+The reference outsources person detection to external torch repos (a git
+submodule for YOLOv3 — .gitmodules:1-3 — and torch.hub for YOLOv5:
+models_/detectors/YOLOv3.py:12, YOLOv5.py:61-66). This framework owns the
+detector: the canonical YOLOv3 / YOLOv3-tiny graphs are built natively
+(block lists identical to the official cfgs), user-supplied ``.cfg`` files
+are parsed with the same parser, and original darknet ``.weights`` binaries
+load directly into the JAX pytree, so the standard pretrained person
+detectors work out of the box.
+
+All shapes are static: a fixed square input (default 416) yields the fixed
+10647x85 (yolov3) / 2535x85 (tiny) prediction tensor the reference pipeline
+assumes (models_/detectors/YOLOv3.py:131).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+Block = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Canonical architectures (public YOLOv3 / YOLOv3-tiny layer graphs)
+# ---------------------------------------------------------------------------
+
+def _conv(filters: int, size: int, stride: int = 1, bn: bool = True,
+          activation: str = 'leaky') -> Block:
+    return {'type': 'convolutional', 'filters': filters, 'size': size,
+            'stride': stride, 'pad': (size - 1) // 2, 'bn': bn,
+            'activation': activation}
+
+
+def _res(filters: int) -> List[Block]:
+    """Darknet-53 residual unit: 1x1 half-width, 3x3 full, shortcut -3."""
+    return [_conv(filters // 2, 1), _conv(filters, 3),
+            {'type': 'shortcut', 'from': -3}]
+
+
+YOLOV3_ANCHORS = [(10, 13), (16, 30), (33, 23), (30, 61), (62, 45),
+                  (59, 119), (116, 90), (156, 198), (373, 326)]
+TINY_ANCHORS = [(10, 14), (23, 27), (37, 58), (81, 82), (135, 169),
+                (344, 319)]
+
+
+def yolov3_blocks(num_classes: int = 80) -> List[Block]:
+    """The YOLOv3 graph (Darknet-53 + FPN heads), identical to yolov3.cfg."""
+    nf = 3 * (num_classes + 5)
+    b: List[Block] = [_conv(32, 3)]
+    # backbone stages: (downsample filters, residual repeats)
+    for filters, repeats in [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]:
+        b.append(_conv(filters, 3, stride=2))
+        for _ in range(repeats):
+            b.extend(_res(filters))
+    # indices of the 256- and 512-channel stage outputs (official cfg: 36, 61)
+    idx_36 = 1 + (1 + 3 * 1) + (1 + 3 * 2) + (1 + 3 * 8) - 1        # = 36
+    idx_61 = idx_36 + (1 + 3 * 8)                                    # = 61
+    # head 1 (stride 32)
+    for _ in range(2):
+        b.extend([_conv(512, 1), _conv(1024, 3)])
+    b.append(_conv(512, 1))
+    b.extend([_conv(1024, 3), _conv(nf, 1, bn=False, activation='linear')])
+    b.append({'type': 'yolo', 'mask': [6, 7, 8], 'anchors': YOLOV3_ANCHORS,
+              'classes': num_classes})
+    # head 2 (stride 16)
+    b.append({'type': 'route', 'layers': [-4]})
+    b.extend([_conv(256, 1), {'type': 'upsample', 'stride': 2},
+              {'type': 'route', 'layers': [-1, idx_61]}])
+    for _ in range(2):
+        b.extend([_conv(256, 1), _conv(512, 3)])
+    b.append(_conv(256, 1))
+    b.extend([_conv(512, 3), _conv(nf, 1, bn=False, activation='linear')])
+    b.append({'type': 'yolo', 'mask': [3, 4, 5], 'anchors': YOLOV3_ANCHORS,
+              'classes': num_classes})
+    # head 3 (stride 8)
+    b.append({'type': 'route', 'layers': [-4]})
+    b.extend([_conv(128, 1), {'type': 'upsample', 'stride': 2},
+              {'type': 'route', 'layers': [-1, idx_36]}])
+    for _ in range(2):
+        b.extend([_conv(128, 1), _conv(256, 3)])
+    b.append(_conv(128, 1))
+    b.extend([_conv(256, 3), _conv(nf, 1, bn=False, activation='linear')])
+    b.append({'type': 'yolo', 'mask': [0, 1, 2], 'anchors': YOLOV3_ANCHORS,
+              'classes': num_classes})
+    return b
+
+
+def yolov3_tiny_blocks(num_classes: int = 80) -> List[Block]:
+    """The YOLOv3-tiny graph, identical to yolov3-tiny.cfg."""
+    nf = 3 * (num_classes + 5)
+    b: List[Block] = []
+    for filters in [16, 32, 64, 128, 256]:
+        b.append(_conv(filters, 3))
+        b.append({'type': 'maxpool', 'size': 2, 'stride': 2})
+    # layer index 8 = the 256-filter conv (route target in the official cfg)
+    b.append(_conv(512, 3))
+    b.append({'type': 'maxpool', 'size': 2, 'stride': 1})  # 'same' maxpool
+    b.append(_conv(1024, 3))
+    b.append(_conv(256, 1))        # index 13, route -4 target
+    b.append(_conv(512, 3))
+    b.append(_conv(nf, 1, bn=False, activation='linear'))
+    b.append({'type': 'yolo', 'mask': [3, 4, 5], 'anchors': TINY_ANCHORS,
+              'classes': num_classes})
+    b.append({'type': 'route', 'layers': [-4]})
+    b.append(_conv(128, 1))
+    b.append({'type': 'upsample', 'stride': 2})
+    b.append({'type': 'route', 'layers': [-1, 8]})
+    b.append(_conv(256, 3))
+    b.append(_conv(nf, 1, bn=False, activation='linear'))
+    b.append({'type': 'yolo', 'mask': [0, 1, 2], 'anchors': TINY_ANCHORS,
+              'classes': num_classes})
+    return b
+
+
+# ---------------------------------------------------------------------------
+# cfg parsing (for user-supplied darknet cfg files)
+# ---------------------------------------------------------------------------
+
+def parse_cfg(path: str) -> List[Block]:
+    """Parse a darknet .cfg into the same block-list format as above."""
+    sections: List[Tuple[str, Dict[str, str]]] = []
+    with open(path) as f:
+        current: Optional[Dict[str, str]] = None
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(('#', ';')):
+                continue
+            if line.startswith('['):
+                current = {}
+                sections.append((line[1:-1].strip(), current))
+            elif current is not None and '=' in line:
+                k, v = line.split('=', 1)
+                current[k.strip()] = v.strip()
+
+    blocks: List[Block] = []
+    anchors: List[Tuple[float, float]] = []
+    for name, sec in sections:
+        if name in ('net', 'network'):
+            continue
+        if name == 'convolutional':
+            blocks.append({
+                'type': 'convolutional',
+                'filters': int(sec['filters']),
+                'size': int(sec['size']),
+                'stride': int(sec.get('stride', 1)),
+                'pad': (int(sec['size']) - 1) // 2 if sec.get('pad') == '1' else 0,
+                'bn': sec.get('batch_normalize') == '1',
+                'activation': sec.get('activation', 'linear'),
+            })
+        elif name == 'shortcut':
+            blocks.append({'type': 'shortcut', 'from': int(sec['from'])})
+        elif name == 'route':
+            layers = [int(x) for x in sec['layers'].split(',')]
+            blocks.append({'type': 'route', 'layers': layers})
+        elif name == 'upsample':
+            blocks.append({'type': 'upsample', 'stride': int(sec['stride'])})
+        elif name == 'maxpool':
+            blocks.append({'type': 'maxpool', 'size': int(sec.get('size', 2)),
+                           'stride': int(sec.get('stride', 2))})
+        elif name == 'yolo':
+            a = [float(x) for x in sec['anchors'].split(',')]
+            anchors = [(a[i], a[i + 1]) for i in range(0, len(a), 2)]
+            blocks.append({'type': 'yolo',
+                           'mask': [int(x) for x in sec['mask'].split(',')],
+                           'anchors': anchors,
+                           'classes': int(sec.get('classes', 80))})
+        else:
+            raise ValueError(f'Unsupported darknet section [{name}]')
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# Build / init / forward
+# ---------------------------------------------------------------------------
+
+def output_channels(blocks: List[Block]) -> List[int]:
+    """Static per-layer channel bookkeeping (for init and weight loading)."""
+    chans: List[int] = []
+    for i, blk in enumerate(blocks):
+        t = blk['type']
+        if t == 'convolutional':
+            chans.append(blk['filters'])
+        elif t in ('shortcut', 'upsample', 'maxpool', 'yolo'):
+            chans.append(chans[i - 1])
+        elif t == 'route':
+            total = 0
+            for l in blk['layers']:
+                total += chans[l if l >= 0 else i + l]
+            chans.append(total)
+    return chans
+
+
+def init(key, blocks: List[Block], in_channels: int = 3) -> Params:
+    """Random params for a darknet graph; keys are ``conv_<layer_idx>``."""
+    chans = output_channels(blocks)
+    params: Params = {}
+    prev_c = in_channels
+    for i, blk in enumerate(blocks):
+        if blk['type'] == 'convolutional':
+            key, sub = jax.random.split(key)
+            k = blk['size']
+            fan_in = prev_c * k * k
+            bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+            node: Params = {'kernel': jax.random.uniform(
+                sub, (k, k, prev_c, blk['filters']), jnp.float32, -bound, bound)}
+            if blk['bn']:
+                node['bn'] = {'scale': jnp.ones((blk['filters'],)),
+                              'bias': jnp.zeros((blk['filters'],)),
+                              'mean': jnp.zeros((blk['filters'],)),
+                              'var': jnp.ones((blk['filters'],))}
+            else:
+                node['bias'] = jnp.zeros((blk['filters'],))
+            params[f'conv_{i}'] = node
+        prev_c = chans[i]
+    return params
+
+
+def load_darknet_weights(path: str, blocks: List[Block],
+                         in_channels: int = 3) -> Params:
+    """Load an original darknet ``.weights`` binary into a params tree.
+
+    Format (as consumed by the reference's submodule loader,
+    YOLOv3.py:103-105): 5 int32 header, then per conv layer either
+    [bn_bias, bn_scale, bn_mean, bn_var] or [conv_bias], followed by conv
+    weights in OIHW order.
+    """
+    chans = output_channels(blocks)
+    data = np.fromfile(path, dtype=np.float32, offset=5 * 4)
+    ptr = 0
+    params: Params = {}
+    prev_c = in_channels
+    for i, blk in enumerate(blocks):
+        if blk['type'] == 'convolutional':
+            f, k = blk['filters'], blk['size']
+            node: Params = {}
+            if blk['bn']:
+                bias = data[ptr:ptr + f]; ptr += f
+                scale = data[ptr:ptr + f]; ptr += f
+                mean = data[ptr:ptr + f]; ptr += f
+                var = data[ptr:ptr + f]; ptr += f
+                node['bn'] = {'scale': jnp.asarray(scale),
+                              'bias': jnp.asarray(bias),
+                              'mean': jnp.asarray(mean),
+                              'var': jnp.asarray(var)}
+            else:
+                node['bias'] = jnp.asarray(data[ptr:ptr + f]); ptr += f
+            n_w = f * prev_c * k * k
+            w = data[ptr:ptr + n_w].reshape(f, prev_c, k, k); ptr += n_w
+            node['kernel'] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            params[f'conv_{i}'] = node
+        prev_c = chans[i]
+    if ptr != data.size:
+        raise ValueError(
+            f'weights file size mismatch: consumed {ptr} of {data.size} floats '
+            f'— cfg/graph does not match the weights')
+    return params
+
+
+def fold_weights(params: Params) -> Params:
+    """Fold darknet BN into conv kernels for inference (see layers.fold_batch_norm)."""
+    from simple_hrnet_tpu.models import layers as L
+    out: Params = {}
+    for name, node in params.items():
+        if 'bn' in node:
+            out[name] = L._fold_pair({'kernel': node['kernel']}, node['bn'])
+        else:
+            out[name] = node
+    return out
+
+
+def _yolo_decode(x: jnp.ndarray, blk: Block, img_size: int) -> jnp.ndarray:
+    """Decode one YOLO head: (N, g, g, 3*(5+C)) -> (N, 3*g*g, 5+C).
+
+    Box decode (cx, cy, w, h in input pixels), sigmoid objectness and class
+    scores — the format the reference's non_max_suppression consumes.
+    """
+    n, gh, gw, _ = x.shape
+    n_cls = blk['classes']
+    anchors = jnp.asarray([blk['anchors'][m] for m in blk['mask']], jnp.float32)
+    stride = img_size / gw
+    x = x.reshape(n, gh, gw, 3, 5 + n_cls)
+    cy = jnp.arange(gh, dtype=jnp.float32)[None, :, None, None]
+    cx = jnp.arange(gw, dtype=jnp.float32)[None, None, :, None]
+    bx = (jax.nn.sigmoid(x[..., 0]) + cx) * stride
+    by = (jax.nn.sigmoid(x[..., 1]) + cy) * stride
+    bw = jnp.exp(x[..., 2]) * anchors[None, None, None, :, 0]
+    bh = jnp.exp(x[..., 3]) * anchors[None, None, None, :, 1]
+    obj = jax.nn.sigmoid(x[..., 4])
+    cls = jax.nn.sigmoid(x[..., 5:])
+    out = jnp.concatenate(
+        [jnp.stack([bx, by, bw, bh, obj], axis=-1), cls], axis=-1)
+    # match the darknet flatten order: (anchor, gy, gx)
+    return out.transpose(0, 3, 1, 2, 4).reshape(n, 3 * gh * gw, 5 + n_cls)
+
+
+def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
+          img_size: int, dtype=None) -> jnp.ndarray:
+    """Forward the darknet graph. x: (N, S, S, 3) in [0, 1]. Returns the
+    concatenated prediction tensor (N, total_anchors, 5 + classes)."""
+    from simple_hrnet_tpu.models import layers as L
+
+    outputs: List[jnp.ndarray] = []
+    detections: List[jnp.ndarray] = []
+    for i, blk in enumerate(blocks):
+        t = blk['type']
+        if t == 'convolutional':
+            node = params[f'conv_{i}']
+            y = L.conv2d(x, node, stride=blk['stride'], padding=blk['pad'],
+                         dtype=dtype)
+            if 'bn' in node:
+                y = L.batch_norm(y, node['bn'])
+            if blk['activation'] == 'leaky':
+                y = jax.nn.leaky_relu(y, 0.1)
+            x = y
+        elif t == 'shortcut':
+            x = x + outputs[i + blk['from']]
+        elif t == 'route':
+            feats = [outputs[l if l >= 0 else i + l] for l in blk['layers']]
+            x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+        elif t == 'upsample':
+            x = L.upsample_nearest(x, blk['stride'])
+        elif t == 'maxpool':
+            if blk['stride'] == 1:
+                # darknet 'same' maxpool (tiny): pad right/bottom
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max,
+                    (1, blk['size'], blk['size'], 1), (1, 1, 1, 1),
+                    [(0, 0), (0, blk['size'] - 1), (0, blk['size'] - 1), (0, 0)])
+            else:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max,
+                    (1, blk['size'], blk['size'], 1),
+                    (1, blk['stride'], blk['stride'], 1),
+                    [(0, 0), (0, 0), (0, 0), (0, 0)])
+        elif t == 'yolo':
+            detections.append(_yolo_decode(x.astype(jnp.float32), blk, img_size))
+        outputs.append(x)
+    return jnp.concatenate(detections, axis=1)

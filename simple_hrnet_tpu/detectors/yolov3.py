@@ -1,0 +1,222 @@
+"""YOLOv3 person detector — the TPU-native analogue of the reference's
+``models_/detectors/YOLOv3.py`` adapter.
+
+Everything after the frame lands on device is one jitted computation:
+letterbox resize -> darknet forward -> box decode -> top-K candidate select
+-> class-aware greedy NMS -> coordinate rescale to the original frame. No
+host round-trip mid-pipeline; outputs are static-shape (max_det, 7) with a
+validity count, unpadded only at the API boundary.
+
+Output row format matches the reference chain the pose facade consumes
+(YOLOv3.py:135-139): (x1, y1, x2, y2, conf, cls_conf, cls_pred).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from simple_hrnet_tpu.detectors import darknet
+from simple_hrnet_tpu.ops import nms as nms_ops
+
+# COCO class names index 0 == person (the default filter, SimpleHRNet.py:160).
+PERSON_CLASS_ID = 0
+
+
+def letterbox_params(shape_hw: Tuple[int, int], new_shape: int = 416
+                     ) -> Tuple[float, float, float, Tuple[int, int]]:
+    """Square letterbox geometry, exact port of YOLOv3.py:23-45 (mode='square').
+
+    Returns (ratio, dw, dh, (new_w, new_h)) where dw/dh are the float half
+    paddings the reference computes (top = round(dh - 0.1), etc.).
+    """
+    h, w = shape_hw
+    ratio = float(new_shape) / max(h, w)
+    new_unpad = (int(round(w * ratio)), int(round(h * ratio)))
+    dw = (new_shape - new_unpad[0]) / 2
+    dh = (new_shape - new_unpad[1]) / 2
+    return ratio, dw, dh, new_unpad
+
+
+@partial(jax.jit, static_argnames=('img_size', 'in_h', 'in_w'))
+def letterbox_device(frames: jnp.ndarray, img_size: int, in_h: int, in_w: int
+                     ) -> jnp.ndarray:
+    """(N, H, W, 3) RGB uint8/float -> (N, S, S, 3) float in [0,1], grey-padded.
+
+    Matches the reference's cv2 INTER_LINEAR resize + 127.5 border
+    (YOLOv3.py:43-44) with the same integer rounding of the pad offsets.
+    """
+    from simple_hrnet_tpu.ops import image as I
+
+    ratio, dw, dh, (nw, nh) = letterbox_params((in_h, in_w), img_size)
+    top = int(round(dh - 0.1))
+    left = int(round(dw - 0.1))
+
+    def one(frame):
+        # output pixel (y, x) samples source ((y - top + 0.5) / r - 0.5, ...)
+        ys = (jnp.arange(img_size, dtype=jnp.float32)[:, None] - top + 0.5) \
+            * (in_h / nh) - 0.5
+        xs = (jnp.arange(img_size, dtype=jnp.float32)[None, :] - left + 0.5) \
+            * (in_w / nw) - 0.5
+        ys = jnp.broadcast_to(ys, (img_size, img_size))
+        xs = jnp.broadcast_to(xs, (img_size, img_size))
+        inside = ((jnp.arange(img_size) >= top) &
+                  (jnp.arange(img_size) < top + nh))[:, None] & \
+                 ((jnp.arange(img_size) >= left) &
+                  (jnp.arange(img_size) < left + nw))[None, :]
+        sampled = I._bilinear_sample(frame.astype(jnp.float32), ys, xs,
+                                     fill=127.5)
+        return jnp.where(inside[..., None], sampled, 127.5) / 255.0
+
+    return jax.vmap(one)(frames)
+
+
+def scale_coords_params(img_size: int, shape_hw: Tuple[int, int]
+                        ) -> Tuple[float, float, float]:
+    """gain/pad used to map letterboxed coords back (YOLOv3.py:49-56)."""
+    gain = img_size / max(shape_hw)
+    pad_x = (img_size - shape_hw[1] * gain) / 2
+    pad_y = (img_size - shape_hw[0] * gain) / 2
+    return gain, pad_x, pad_y
+
+
+class YOLOv3:
+    """Person detector with the reference adapter's constructor surface.
+
+    ``model_def`` may be 'yolov3', 'yolov3-tiny', or a path to a darknet
+    .cfg; ``weights_path`` a darknet ``.weights`` binary (or None / missing
+    file for random weights, useful in tests).
+    """
+
+    def __init__(self,
+                 model_def: str = 'yolov3',
+                 class_path: Optional[str] = None,
+                 weights_path: Optional[str] = None,
+                 conf_thres: float = 0.2,
+                 nms_thres: float = 0.4,
+                 img_size: int = 416,
+                 classes: Sequence[str] = ('person',),
+                 max_batch_size: int = 16,
+                 max_detections: int = 32,
+                 device=None,
+                 dtype=None):
+        import os
+
+        if model_def.endswith('.cfg') and os.path.exists(model_def):
+            self.blocks = darknet.parse_cfg(model_def)
+        elif 'tiny' in model_def:
+            self.blocks = darknet.yolov3_tiny_blocks()
+        else:
+            self.blocks = darknet.yolov3_blocks()
+
+        if weights_path and os.path.exists(weights_path):
+            if weights_path.endswith('.weights'):
+                self.params = darknet.load_darknet_weights(weights_path,
+                                                           self.blocks)
+            else:
+                from simple_hrnet_tpu.utils import checkpoint as ckpt
+                self.params = ckpt.load(weights_path)
+        else:
+            self.params = darknet.init(jax.random.PRNGKey(0), self.blocks)
+        self.params = darknet.fold_weights(self.params)
+
+        self.conf_thres = conf_thres
+        self.nms_thres = nms_thres
+        self.img_size = img_size
+        self.max_detections = max_detections
+        self.dtype = dtype
+        # class names: default COCO ordering; only used for the person filter
+        self.class_ids = (PERSON_CLASS_ID,) if 'person' in classes else tuple(
+            range(80))
+
+        self._detect_jit = {}
+
+    # -- jitted pipeline ----------------------------------------------------
+
+    def _build(self, in_hw: Tuple[int, int]):
+        img_size = self.img_size
+        blocks = self.blocks
+        conf_thres = self.conf_thres
+        nms_thres = self.nms_thres
+        max_det = self.max_detections
+        class_ids = jnp.asarray(self.class_ids)
+        dtype = self.dtype
+
+        @jax.jit
+        def detect(params, frames):  # frames (N, H, W, 3) RGB
+            n = frames.shape[0]
+            inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
+            preds = darknet.apply(params, blocks, inp, img_size, dtype=dtype)
+
+            def per_image(p):  # (A, 5+C)
+                obj = p[:, 4]
+                cls_conf = jnp.max(p[:, 5:], axis=1)
+                cls_pred = jnp.argmax(p[:, 5:], axis=1)
+                keep_cls = jnp.isin(cls_pred, class_ids)
+                score = jnp.where((obj >= conf_thres) & keep_cls, obj, 0.0)
+                k = min(256, p.shape[0])
+                top_scores, top_idx = jax.lax.top_k(score, k)
+                boxes_xywh = p[top_idx, :4]
+                boxes = jnp.stack([
+                    boxes_xywh[:, 0] - boxes_xywh[:, 2] / 2,
+                    boxes_xywh[:, 1] - boxes_xywh[:, 3] / 2,
+                    boxes_xywh[:, 0] + boxes_xywh[:, 2] / 2,
+                    boxes_xywh[:, 1] + boxes_xywh[:, 3] / 2], axis=1)
+                # class-aware NMS: offset boxes per class so classes don't
+                # suppress each other
+                offset = cls_pred[top_idx].astype(jnp.float32)[:, None] * (
+                    2.0 * img_size)
+                keep_idx, keep_valid = nms_ops.nms_jax(
+                    boxes + offset, top_scores, nms_thres, max_det)
+                rows = jnp.concatenate([
+                    boxes[keep_idx],
+                    top_scores[keep_idx][:, None],
+                    cls_conf[top_idx][keep_idx][:, None],
+                    cls_pred[top_idx][keep_idx].astype(jnp.float32)[:, None],
+                ], axis=1)
+                # rescale to original frame coords (YOLOv3.py:49-56)
+                gain, pad_x, pad_y = scale_coords_params(img_size, in_hw)
+                rows = rows.at[:, 0].add(-pad_x).at[:, 2].add(-pad_x)
+                rows = rows.at[:, 1].add(-pad_y).at[:, 3].add(-pad_y)
+                rows = rows.at[:, :4].set(
+                    jnp.maximum(rows[:, :4] / gain, 0.0))
+                return rows, keep_valid
+
+            return jax.vmap(per_image)(preds)
+
+        return detect
+
+    def _detect(self, frames_rgb: np.ndarray):
+        in_hw = frames_rgb.shape[1:3]
+        if in_hw not in self._detect_jit:
+            self._detect_jit[in_hw] = self._build(in_hw)
+        return self._detect_jit[in_hw](self.params, frames_rgb)
+
+    # -- reference-compatible API ------------------------------------------
+
+    def predict_single(self, image: np.ndarray, color_mode: str = 'BGR'):
+        """Single frame -> (n_det, 7) array or None (reference YOLOv3.py:120)."""
+        return self.predict(image[None], color_mode=color_mode)[0]
+
+    def predict(self, images: np.ndarray, color_mode: str = 'BGR'
+                ) -> List[Optional[np.ndarray]]:
+        """Batch of frames -> list of per-image (n_det, 7) arrays (or None)."""
+        if color_mode == 'BGR':
+            images = images[..., ::-1]
+        rows, valid = self._detect(np.ascontiguousarray(images))
+        rows = np.asarray(rows)
+        valid = np.asarray(valid)
+        out: List[Optional[np.ndarray]] = []
+        for i in range(rows.shape[0]):
+            n = int(valid[i].sum())
+            out.append(rows[i, :n] if n > 0 else None)
+        return out
+
+    # device-native variant for fused pipelines: returns padded arrays
+    def detect_padded(self, frames_rgb) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._detect(frames_rgb)

@@ -1,0 +1,221 @@
+"""SimpleHRNet facade: predict() contract parity with the reference.
+
+The reference facade itself (SimpleHRNet.py) cannot be imported here
+(torchvision is absent), so the reference behaviour is replicated inline
+from its documented arithmetic: cv2 resize + torch forward + argmax decode
+(SimpleHRNet.py:212-343).
+"""
+
+import numpy as np
+import pytest
+
+import conftest
+
+
+@pytest.fixture(scope='module')
+def w32_checkpoint(tmp_path_factory):
+    """Random-weight torch HRNet-W32 saved as an official-style .pth."""
+    conftest.reference_on_path()
+    import torch
+    from models_.hrnet import HRNet as TorchHRNet
+
+    torch.manual_seed(0)
+    model = TorchHRNet(c=32, nof_joints=17)
+    model.eval()
+    path = tmp_path_factory.mktemp('ckpt') / 'pose_hrnet_w32.pth'
+    torch.save(model.state_dict(), str(path))
+    return str(path), model
+
+
+def test_single_person_matches_reference(w32_checkpoint, rng):
+    """Exact parity on a frame already at model resolution (no resize)."""
+    import cv2
+    import torch
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, torch_model = w32_checkpoint
+    resolution = (128, 96)
+    image = rng.uniform(0, 255, (*resolution, 3)).astype(np.uint8)  # BGR
+
+    model = SimpleHRNet(32, 17, path, multiperson=False,
+                        resolution=resolution, return_heatmaps=True,
+                        return_bounding_boxes=True)
+    heatmaps, boxes, pts = model.predict(image)
+
+    assert pts.shape == (1, 17, 3)
+    assert heatmaps.shape == (1, 17, resolution[0] // 4, resolution[1] // 4)
+    np.testing.assert_array_equal(boxes[0], [0, 0, 96, 128])
+
+    # reference arithmetic (SimpleHRNet.py:212-308), no resize needed
+    rgb = cv2.cvtColor(image, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    norm = (rgb - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    with torch.no_grad():
+        out = torch_model(torch.from_numpy(
+            np.transpose(norm, (2, 0, 1))[None]).float()).numpy()[0]
+
+    np.testing.assert_allclose(heatmaps[0], out, atol=2e-4, rtol=1e-4)
+
+    h4, w4 = resolution[0] // 4, resolution[1] // 4
+    expected = np.empty((17, 3), np.float32)
+    for j, joint in enumerate(out):
+        pt = np.unravel_index(np.argmax(joint), (h4, w4))
+        expected[j, 0] = pt[0] / h4 * 128
+        expected[j, 1] = pt[1] / w4 * 96
+        expected[j, 2] = joint[pt]
+    np.testing.assert_allclose(pts[0], expected, atol=1e-3)
+
+
+def test_single_person_resize_path(w32_checkpoint, rng):
+    """Off-resolution frames go through on-device cubic resize; heatmaps must
+    stay close to the cv2-INTER_CUBIC reference (kernels differ: a=-0.5 vs
+    -0.75), and the decode must stay self-consistent."""
+    import cv2
+    import torch
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, torch_model = w32_checkpoint
+    resolution = (128, 96)
+    image = rng.uniform(0, 255, (180, 140, 3)).astype(np.uint8)
+
+    model = SimpleHRNet(32, 17, path, multiperson=False,
+                        resolution=resolution, return_heatmaps=True)
+    heatmaps, pts = model.predict(image)
+
+    resized = cv2.resize(image, (resolution[1], resolution[0]),
+                         interpolation=cv2.INTER_CUBIC)
+    rgb = cv2.cvtColor(resized, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    norm = (rgb - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    with torch.no_grad():
+        ref_hm = torch_model(torch.from_numpy(
+            np.transpose(norm, (2, 0, 1))[None]).float()).numpy()[0]
+
+    # on-device bicubic is cv2-exact (dense matmul kernel, a=-0.75) and the
+    # facade reproduces the uint8 saturate-cast, so heatmaps match tightly
+    np.testing.assert_allclose(heatmaps[0], ref_hm, atol=5e-3, rtol=1e-3)
+
+    # decode is exactly the reference arithmetic applied to OUR heatmaps
+    h4, w4 = resolution[0] // 4, resolution[1] // 4
+    for j in range(17):
+        pt = np.unravel_index(np.argmax(heatmaps[0, j]), (h4, w4))
+        assert abs(pts[0, j, 0] - pt[0] / h4 * 180) < 1e-3
+        assert abs(pts[0, j, 1] - pt[1] / w4 * 140) < 1e-3
+        assert abs(pts[0, j, 2] - heatmaps[0, j][pt]) < 1e-5
+
+
+class _StubDetector:
+    """Deterministic detector: fixed boxes for pipeline-parity tests."""
+
+    def __init__(self, boxes_per_image):
+        self.boxes = boxes_per_image  # list of (n_i, 4) arrays
+
+    def detect_padded(self, frames_rgb):
+        import jax.numpy as jnp
+        n = len(self.boxes)
+        max_det = 8
+        rows = np.zeros((n, max_det, 7), np.float32)
+        valid = np.zeros((n, max_det), bool)
+        for i, b in enumerate(self.boxes):
+            rows[i, :len(b), :4] = b
+            rows[i, :len(b), 4:6] = 0.9
+            valid[i, :len(b)] = True
+        return jnp.asarray(rows), jnp.asarray(valid)
+
+
+def test_multiperson_crops_match_reference(w32_checkpoint, rng):
+    """Crop geometry + decode parity vs the reference multi-person loop."""
+    import cv2
+    import torch
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, torch_model = w32_checkpoint
+    resolution = (128, 96)
+    image = rng.uniform(0, 255, (240, 320, 3)).astype(np.uint8)
+
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=resolution,
+                        return_heatmaps=True, return_bounding_boxes=True)
+    model.multiperson = True
+    boxes = np.array([[40, 30, 120, 200], [150, 60, 300, 230]], np.float32)
+    model.detector = _StubDetector([boxes])
+
+    heatmaps, out_boxes, pts = model.predict(image)
+    assert pts.shape == (2, 17, 3)
+
+    # reference arithmetic per box (SimpleHRNet.py:237-308)
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        correction = resolution[0] / resolution[1] * (x2 - x1) / (y2 - y1)
+        if correction > 1:
+            cy = y1 + (y2 - y1) // 2
+            ln = int(round((y2 - y1) * correction))
+            y1n, y2n = cy - ln // 2, cy + ln // 2
+            x1n, x2n = x1, x2
+            crop = image[y1:y2, x1:x2, ::-1]
+            crop = np.pad(crop, ((abs(y1n - y1), abs(y2n - y2)), (0, 0), (0, 0)))
+        else:
+            cx = x1 + (x2 - x1) // 2
+            ln = int(round((x2 - x1) / correction))
+            x1n, x2n = cx - ln // 2, cx + ln // 2
+            y1n, y2n = y1, y2
+            crop = image[y1:y2, x1:x2, ::-1]
+            crop = np.pad(crop, ((0, 0), (abs(x1n - x1), abs(x2n - x2)), (0, 0)))
+
+        np.testing.assert_allclose(out_boxes[i], [x1n, y1n, x2n, y2n], atol=1)
+
+        resized = cv2.resize(crop, (resolution[1], resolution[0]),
+                             interpolation=cv2.INTER_LINEAR)
+        norm = (resized.astype(np.float32) / 255.0 -
+                [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+        with torch.no_grad():
+            hm = torch_model(torch.from_numpy(
+                np.transpose(norm, (2, 0, 1))[None]).float()).numpy()[0]
+        # our crop+resize matches cv2 closely -> heatmaps strongly correlated
+        # (argmax parity on random-weight noise heatmaps is ill-conditioned,
+        # so we check heatmap closeness + decode self-consistency instead)
+        h4, w4 = resolution[0] // 4, resolution[1] // 4
+        our_hm = heatmaps[i]
+        corr = np.corrcoef(our_hm.ravel(), hm.ravel())[0, 1]
+        assert corr > 0.98
+        for j in range(17):
+            pt = np.unravel_index(np.argmax(our_hm[j]), (h4, w4))
+            ey = pt[0] / h4 * (y2n - y1n) + y1n
+            ex = pt[1] / w4 * (x2n - x1n) + x1n
+            assert abs(pts[i, j, 0] - ey) <= 1.0
+            assert abs(pts[i, j, 1] - ex) <= 1.0
+            assert abs(pts[i, j, 2] - our_hm[j][pt]) < 1e-5
+
+
+def test_batch_contract(w32_checkpoint, rng):
+    """Stacked-frame predict returns per-image lists (SimpleHRNet.py:445-475)."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_heatmaps=True, return_bounding_boxes=True)
+    model.multiperson = True
+    model.detector = _StubDetector([
+        np.array([[10, 10, 60, 90]], np.float32),
+        np.zeros((0, 4), np.float32),
+        np.array([[5, 5, 50, 80], [20, 10, 70, 95]], np.float32),
+    ])
+
+    frames = rng.uniform(0, 255, (3, 100, 120, 3)).astype(np.uint8)
+    heatmaps, boxes, pts = model.predict(frames)
+    assert [p.shape[0] for p in pts] == [1, 0, 2]
+    assert [b.shape[0] for b in boxes] == [1, 0, 2]
+    assert [h.shape[0] for h in heatmaps] == [1, 0, 2]
+    assert all(p.shape[1:] == (17, 3) for p in pts)
+
+    # single-person batch: (n, 1, J, 3)
+    sp = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64))
+    pts = sp.predict(frames)
+    assert pts.shape == (3, 1, 17, 3)
+
+
+def test_empty_frame_contract(w32_checkpoint):
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64))
+    model.multiperson = True
+    model.detector = _StubDetector([np.zeros((0, 4), np.float32)])
+    pts = model.predict(np.zeros((100, 100, 3), np.uint8))
+    assert pts.shape == (0, 0, 3)  # reference SimpleHRNet.py:331

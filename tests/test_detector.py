@@ -1,0 +1,194 @@
+"""Darknet graph, weights loading, letterbox and NMS tests."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+
+def test_yolov3_graph_structure():
+    """Route targets / conv count match the official cfg layout."""
+    from simple_hrnet_tpu.detectors import darknet
+
+    blocks = darknet.yolov3_blocks()
+    convs = [i for i, b in enumerate(blocks) if b['type'] == 'convolutional']
+    yolos = [i for i, b in enumerate(blocks) if b['type'] == 'yolo']
+    routes = [b['layers'] for b in blocks if b['type'] == 'route']
+    assert len(convs) == 75              # yolov3 has 75 conv layers
+    assert len(yolos) == 3
+    assert routes == [[-4], [-1, 61], [-4], [-1, 36]]  # official cfg targets
+
+    tiny = darknet.yolov3_tiny_blocks()
+    assert len([b for b in tiny if b['type'] == 'convolutional']) == 13
+    assert [b['layers'] for b in tiny if b['type'] == 'route'] == [[-4], [-1, 8]]
+
+
+@pytest.mark.parametrize('model', ['tiny'])
+def test_darknet_forward_shape(model):
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.detectors import darknet
+
+    blocks = darknet.yolov3_tiny_blocks()
+    params = darknet.init(jax.random.PRNGKey(0), blocks)
+    x = jnp.zeros((1, 416, 416, 3))
+    out = jax.jit(lambda p, v: darknet.apply(p, blocks, v, 416))(params, x)
+    # 3 * (13^2 + 26^2) = 2535 anchors
+    assert out.shape == (1, 2535, 85)
+    # decoded boxes are finite and within sane bounds
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_darknet_weights_roundtrip(tmp_path, rng):
+    """Write a synthetic .weights binary, load it, verify exact placement."""
+    import jax
+    import numpy as np
+    from simple_hrnet_tpu.detectors import darknet
+
+    blocks = darknet.yolov3_tiny_blocks()
+    chans = darknet.output_channels(blocks)
+
+    # Build the byte stream exactly as darknet does.
+    buf = [np.zeros(5, np.int32).tobytes()]
+    expected = {}
+    prev_c = 3
+    for i, blk in enumerate(blocks):
+        if blk['type'] == 'convolutional':
+            f, k = blk['filters'], blk['size']
+            if blk['bn']:
+                parts = {n: rng.standard_normal(f).astype(np.float32)
+                         for n in ('bias', 'scale', 'mean', 'var')}
+                for n in ('bias', 'scale', 'mean', 'var'):
+                    buf.append(parts[n].tobytes())
+            else:
+                parts = {'bias': rng.standard_normal(f).astype(np.float32)}
+                buf.append(parts['bias'].tobytes())
+            w = rng.standard_normal((f, prev_c, k, k)).astype(np.float32)
+            buf.append(w.tobytes())
+            parts['kernel'] = np.transpose(w, (2, 3, 1, 0))
+            expected[f'conv_{i}'] = parts
+        prev_c = chans[i]
+
+    path = tmp_path / 'tiny.weights'
+    path.write_bytes(b''.join(buf))
+
+    params = darknet.load_darknet_weights(str(path), blocks)
+    for name, parts in expected.items():
+        node = params[name]
+        np.testing.assert_array_equal(np.asarray(node['kernel']), parts['kernel'])
+        if 'scale' in parts:
+            for src, dst in (('scale', 'scale'), ('bias', 'bias'),
+                             ('mean', 'mean'), ('var', 'var')):
+                np.testing.assert_array_equal(np.asarray(node['bn'][dst]),
+                                              parts[src])
+        else:
+            np.testing.assert_array_equal(np.asarray(node['bias']), parts['bias'])
+
+    # truncated / oversized files must be rejected
+    path.write_bytes(b''.join(buf) + np.zeros(3, np.float32).tobytes())
+    with pytest.raises(ValueError):
+        darknet.load_darknet_weights(str(path), blocks)
+
+
+def test_letterbox_matches_reference(rng):
+    """Device letterbox == reference letterbox (YOLOv3.py:23-45) on pixels."""
+    import cv2
+    from simple_hrnet_tpu.detectors import yolov3 as Y
+
+    img = rng.uniform(0, 255, (240, 320, 3)).astype(np.uint8)
+
+    # reference implementation (square mode)
+    shape = img.shape[:2]
+    new_shape = 416
+    ratio = float(new_shape) / max(shape)
+    new_unpad = (int(round(shape[1] * ratio)), int(round(shape[0] * ratio)))
+    dw = (new_shape - new_unpad[0]) / 2
+    dh = (new_shape - new_unpad[1]) / 2
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    ref = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    ref = cv2.copyMakeBorder(ref, top, bottom, left, right,
+                             cv2.BORDER_CONSTANT, value=(127.5, 127.5, 127.5))
+    ref = ref.astype(np.float32) / 255.0
+
+    got = np.asarray(Y.letterbox_device(img[None].astype(np.float32),
+                                        416, 240, 320))[0]
+    assert got.shape == ref.shape
+    # interior parity (borders differ by <1 px blending)
+    diff = np.abs(got - ref)
+    assert np.quantile(diff, 0.99) < 0.02
+    assert diff.mean() < 0.005
+
+
+def test_nms_jax_matches_numpy(rng):
+    from simple_hrnet_tpu.ops import nms as N
+
+    n = 60
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 200, n)
+    boxes[:, 1] = rng.uniform(0, 200, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(20, 120, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(20, 120, n)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    ref_keep = N.nms_numpy(dets, 0.45)
+
+    keep_idx, keep_valid = N.nms_jax(boxes, scores, 0.45, max_out=n,
+                                     plus_one=True)
+    got_keep = np.asarray(keep_idx)[np.asarray(keep_valid)].tolist()
+    assert got_keep == ref_keep
+
+
+def test_native_cpp_nms_matches_python(rng):
+    from simple_hrnet_tpu.ops import nms as N
+
+    if N._native_nms() is None:
+        pytest.skip('libnms.so not built')
+
+    n = 80
+    boxes = np.zeros((n, 5), np.float32)
+    boxes[:, 0] = rng.uniform(0, 300, n)
+    boxes[:, 1] = rng.uniform(0, 300, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(10, 150, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(10, 150, n)
+    boxes[:, 4] = rng.uniform(0, 1, n)
+
+    native = N.nms_numpy(boxes, 0.4)          # uses C++ when built
+    # force pure python
+    saved = N._NATIVE
+    N._NATIVE = False
+    try:
+        pure = N.nms_numpy(boxes, 0.4)
+    finally:
+        N._NATIVE = saved
+    assert native == pure
+
+
+def test_oks_nms_parity(rng):
+    """oks_nms / soft_oks_nms match the reference misc/nms/nms.py outputs."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'ref_nms_standalone', '/root/reference/misc/nms/nms.py')
+    # reference module imports compiled cpu_nms/gpu_nms at top; stub them
+    import sys, types
+    for m in ('cpu_nms', 'gpu_nms'):
+        if m not in sys.modules:
+            stub = types.ModuleType(m)
+            setattr(stub, m, lambda *a, **k: None)
+            sys.modules[m] = stub
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from simple_hrnet_tpu.ops import nms as N
+
+    db = []
+    for _ in range(12):
+        kp = rng.uniform(0, 200, (17, 3))
+        kp[:, 2] = rng.uniform(0, 1, 17)
+        db.append({'score': float(rng.uniform(0.1, 1)), 'keypoints': kp,
+                   'area': float(rng.uniform(1000, 20000))})
+
+    assert N.oks_nms(db, 0.9) == [int(i) for i in ref.oks_nms(db, 0.9)]
+    assert N.soft_oks_nms(db, 0.9) == [int(i) for i in ref.soft_oks_nms(db, 0.9)]
