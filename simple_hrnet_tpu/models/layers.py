@@ -112,7 +112,10 @@ def batch_norm(x: jnp.ndarray, p: Params, *, train: bool = False,
             mean_sq = jax.lax.pmean(mean_sq, axis_name)
         var = mean_sq - jnp.square(mean)
         if stats is not None:
-            stats[path] = (mean, var)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            if axis_name is not None:
+                n = n * jax.lax.psum(1, axis_name)
+            stats[path] = (mean, var, n)
     else:
         mean = p['mean']
         var = p['var']
@@ -318,23 +321,20 @@ def fold_batch_norm(tree: Params) -> Params:
 
 
 def update_running_stats(params: Params, stats: Dict[str, tuple],
-                         momentum: float = BN_MOMENTUM,
-                         batch_size: Optional[int] = None) -> Params:
+                         momentum: float = BN_MOMENTUM) -> Params:
     """Fold collected batch statistics into running mean/var (torch momentum).
 
-    torch uses the unbiased variance for the running estimate; pass
-    ``batch_size`` = number of elements reduced over (N*H*W) to apply the
-    n/(n-1) correction exactly.
+    ``stats`` maps BN path -> (batch_mean, batch_var, n_elements); torch
+    stores the UNBIASED variance in the running estimate (n/(n-1) correction,
+    applied per layer since n = N*H*W differs across resolutions).
     """
-    params = jax.tree_util.tree_map(lambda v: v, params)  # shallow-ish copy
-
-    def _set(tree, parts, mean, var):
+    def _set(tree, parts, mean, var, n):
         node = tree
         for p in parts[:-1]:
             node = node[p]
         bn = dict(node[parts[-1]])
-        if batch_size is not None and batch_size > 1:
-            var = var * (batch_size / (batch_size - 1))
+        if n > 1:
+            var = var * (n / (n - 1))
         bn['mean'] = (1 - momentum) * bn['mean'] + momentum * mean
         bn['var'] = (1 - momentum) * bn['var'] + momentum * var
         node[parts[-1]] = bn
@@ -346,6 +346,6 @@ def update_running_stats(params: Params, stats: Dict[str, tuple],
         return t
 
     params = _deepcopy(params)
-    for path, (mean, var) in stats.items():
-        _set(params, path.split('.'), mean, var)
+    for path, (mean, var, n) in stats.items():
+        _set(params, path.split('.'), mean, var, n)
     return params

@@ -1,0 +1,108 @@
+"""jit-compiled train / eval steps.
+
+One fused XLA computation per step: forward (train-mode BN with batch-stats
+collection), loss, backward, optax update, running-stat update. Under a
+``jax.sharding.Mesh`` with the batch axis sharded, XLA inserts the gradient
+and BN-statistic all-reduces over ICI automatically — this single function
+is the whole data-parallel story (replacing the reference's DataParallel
+and single-device Train loop, Train.py:236-262).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from simple_hrnet_tpu.models import layers as L
+
+
+def make_train_step(apply_fn: Callable, loss_fn: Callable,
+                    optimizer: optax.GradientTransformation,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    apply_fn(params, x, train=True, stats=dict) -> heatmaps (NHWC).
+    Batch dict: image (N,H,W,C), target (N,h,w,J), target_weight (N,J,1).
+    Returns (params, opt_state, loss, output).
+    """
+
+    def step(params, opt_state, batch):
+        def loss_of(p):
+            stats: Dict[str, tuple] = {}
+            out = apply_fn(p, batch['image'], train=True, stats=stats)
+            loss = loss_fn(out, batch['target'], batch['target_weight'])
+            return loss, (out, stats)
+
+        (loss, (out, stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # running BN stats (torch momentum semantics, layers.py)
+        params = L.update_running_stats(params, stats)
+        return params, opt_state, loss, out
+
+    if mesh is not None:
+        from simple_hrnet_tpu.parallel import data_sharding, replicated_sharding
+        repl = replicated_sharding(mesh)
+        data = data_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, data),
+            out_shardings=(repl, repl, repl, data),
+            donate_argnums=(0, 1) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, loss_fn: Callable,
+                   flip_pairs=None, mesh=None) -> Callable:
+    """Eval step with optional flip-test averaging (Test.py:134-141)."""
+
+    def step(params, batch):
+        out = apply_fn(params, batch['image'], train=False)
+        if flip_pairs is not None:
+            from simple_hrnet_tpu.ops import decode as D
+            flipped_in = batch['image'][:, :, ::-1, :]
+            out_f = apply_fn(params, flipped_in, train=False)
+            out = D.flip_test_average(out, out_f, flip_pairs)
+        loss = loss_fn(out, batch['target'], batch['target_weight'])
+        return loss, out
+
+    if mesh is not None:
+        from simple_hrnet_tpu.parallel import data_sharding, replicated_sharding
+        repl = replicated_sharding(mesh)
+        data = data_sharding(mesh)
+        return jax.jit(step, in_shardings=(repl, data),
+                       out_shardings=(repl, data))
+    return jax.jit(step)
+
+
+def make_optimizer(name: str = 'SGD', lr: float = 0.001,
+                   momentum: float = 0.9, nesterov: bool = False,
+                   weight_decay: float = 0.0,
+                   lr_decay: bool = False,
+                   lr_decay_steps=(170, 200),
+                   lr_decay_gamma: float = 0.1,
+                   steps_per_epoch: int = 1
+                   ) -> optax.GradientTransformation:
+    """SGD/Adam + MultiStepLR, mirroring Train.py:173-179, 206-208."""
+    if lr_decay:
+        boundaries = {int(e) * steps_per_epoch: lr_decay_gamma
+                      for e in lr_decay_steps}
+        schedule = optax.piecewise_constant_schedule(lr, boundaries)
+    else:
+        schedule = lr
+
+    if name in ('SGD', 'sgd'):
+        opt = optax.sgd(schedule, momentum=momentum, nesterov=nesterov)
+    elif name in ('Adam', 'adam'):
+        opt = optax.adam(schedule)
+    else:
+        raise NotImplementedError(f'Unknown optimizer {name!r}')
+    if weight_decay:
+        opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+    return opt

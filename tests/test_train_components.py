@@ -1,0 +1,166 @@
+"""Losses, heatmap targets and PCK metric parity vs the reference."""
+
+import numpy as np
+import pytest
+
+import conftest
+
+
+def _ref_losses():
+    conftest.reference_on_path()
+    import losses.loss as ref_loss
+    return ref_loss
+
+
+def test_joints_mse_loss_parity(rng):
+    import torch
+    ref_loss = _ref_losses()
+    from simple_hrnet_tpu.train import losses as L
+
+    out = rng.standard_normal((4, 17, 16, 12)).astype(np.float32)
+    tgt = rng.standard_normal((4, 17, 16, 12)).astype(np.float32)
+    tw = rng.uniform(0, 1, (4, 17, 1)).astype(np.float32)
+
+    ref = ref_loss.JointsMSELoss(use_target_weight=True)(
+        torch.from_numpy(out), torch.from_numpy(tgt), torch.from_numpy(tw))
+    got = L.joints_mse_loss(np.transpose(out, (0, 2, 3, 1)),
+                            np.transpose(tgt, (0, 2, 3, 1)), tw)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    ref = ref_loss.JointsMSELoss(use_target_weight=False)(
+        torch.from_numpy(out), torch.from_numpy(tgt))
+    got = L.joints_mse_loss(np.transpose(out, (0, 2, 3, 1)),
+                            np.transpose(tgt, (0, 2, 3, 1)),
+                            use_target_weight=False)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_ohkm_loss_reference_bug_and_parity(rng):
+    """The reference OHKM loss crashes (self.ohkm, loss.py:94); we verify the
+    bug, then check parity against the module-level ohkm it intended."""
+    import torch
+    ref_loss = _ref_losses()
+    from simple_hrnet_tpu.train import losses as L
+
+    out = rng.standard_normal((4, 17, 16, 12)).astype(np.float32)
+    tgt = rng.standard_normal((4, 17, 16, 12)).astype(np.float32)
+    tw = rng.uniform(0, 1, (4, 17, 1)).astype(np.float32)
+
+    with pytest.raises(AttributeError):
+        ref_loss.JointsOHKMMSELoss(use_target_weight=True)(
+            torch.from_numpy(out), torch.from_numpy(tgt), torch.from_numpy(tw))
+
+    # intended behavior: per-joint masked MSE means -> module-level ohkm
+    to, tt, ttw = (torch.from_numpy(v) for v in (out, tgt, tw))
+    per = []
+    for idx in range(17):
+        p = to[:, idx].reshape(4, -1) * ttw[:, idx]
+        g = tt[:, idx].reshape(4, -1) * ttw[:, idx]
+        per.append((0.5 * (p - g) ** 2).mean(dim=1, keepdim=True))
+    ref_val = ref_loss.ohkm(torch.cat(per, dim=1), 8)
+
+    got = L.joints_ohkm_mse_loss(np.transpose(out, (0, 2, 3, 1)),
+                                 np.transpose(tgt, (0, 2, 3, 1)), tw)
+    np.testing.assert_allclose(float(got), float(ref_val), rtol=1e-5)
+
+
+def test_generate_target_parity_with_reference(rng):
+    """Host target generation == reference COCODataset._generate_target."""
+    from simple_hrnet_tpu.data import target as T
+
+    # replicate reference semantics inline (COCO.py:460-515)
+    def reference_impl(joints, joints_vis, heatmap_size, image_size, sigma):
+        nof = joints.shape[0]
+        target_weight = np.ones((nof, 1), np.float32)
+        target_weight[:, 0] = joints_vis[:, 0]
+        target = np.zeros((nof, heatmap_size[1], heatmap_size[0]), np.float32)
+        tmp_size = sigma * 3
+        for j in range(nof):
+            feat_stride = np.asarray(image_size) / np.asarray(heatmap_size)
+            mu_x = int(joints[j][0] / feat_stride[0] + 0.5)
+            mu_y = int(joints[j][1] / feat_stride[1] + 0.5)
+            ul = [int(mu_x - tmp_size), int(mu_y - tmp_size)]
+            br = [int(mu_x + tmp_size + 1), int(mu_y + tmp_size + 1)]
+            if ul[0] >= heatmap_size[0] or ul[1] >= heatmap_size[1] or \
+                    br[0] < 0 or br[1] < 0:
+                target_weight[j] = 0
+                continue
+            size = int(2 * tmp_size + 1)
+            x = np.arange(0, size, 1, np.float32)
+            y = x[:, np.newaxis]
+            x0 = y0 = size // 2
+            g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+            g_x = max(0, -ul[0]), min(br[0], heatmap_size[0]) - ul[0]
+            g_y = max(0, -ul[1]), min(br[1], heatmap_size[1]) - ul[1]
+            img_x = max(0, ul[0]), min(br[0], heatmap_size[0])
+            img_y = max(0, ul[1]), min(br[1], heatmap_size[1])
+            if target_weight[j] > 0.5:
+                target[j][img_y[0]:img_y[1], img_x[0]:img_x[1]] = \
+                    g[g_y[0]:g_y[1], g_x[0]:g_x[1]]
+        return target, target_weight
+
+    hm_size, img_size = (72, 96), (288, 384)
+    for _ in range(5):
+        joints = rng.uniform(-50, 350, (17, 2)).astype(np.float64)
+        vis = (rng.uniform(0, 1, (17, 2)) > 0.3).astype(np.float64)
+        vis[:, 1] = vis[:, 0]
+        ref_t, ref_w = reference_impl(joints, vis, hm_size, img_size, 3)
+        got_t, got_w = T.generate_target(joints, vis, hm_size, img_size, 3)
+        np.testing.assert_allclose(got_t, ref_t, atol=1e-6)
+        np.testing.assert_allclose(got_w, ref_w)
+
+        # device version matches host version
+        dt, dw = T.generate_target_device(
+            joints[None].astype(np.float32), vis[None].astype(np.float32),
+            hm_size, img_size, 3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(dt)[0], (2, 0, 1)), ref_t, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw)[0], ref_w)
+
+
+def test_pck_accuracy_parity(rng):
+    import torch
+    ref_utils = __import__('tests.test_ops', fromlist=['_import_ref_utils']) \
+        ._import_ref_utils()
+    from simple_hrnet_tpu.utils import metrics as M
+
+    out = rng.standard_normal((5, 17, 24, 18)).astype(np.float32)
+    tgt = np.zeros((5, 17, 24, 18), np.float32)
+    # plant gaussian-ish peaks (some at <=1 coords to hit the -1 path)
+    for n in range(5):
+        for j in range(17):
+            y, x = rng.integers(0, 24), rng.integers(0, 18)
+            tgt[n, j, y, x] = 1.0
+
+    accs_r, avg_r, cnt_r, pred_r, _ = ref_utils.evaluate_pck_accuracy(
+        torch.from_numpy(out), torch.from_numpy(tgt))
+    accs, avg, cnt, pred, _ = M.evaluate_pck_accuracy(
+        np.transpose(out, (0, 2, 3, 1)), np.transpose(tgt, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(accs), accs_r.numpy(), atol=1e-6)
+    np.testing.assert_allclose(float(avg), float(avg_r), atol=1e-6)
+    assert int(cnt) == int(cnt_r)
+    np.testing.assert_allclose(np.asarray(pred), pred_r.numpy(), atol=1e-6)
+
+
+def test_coco_ap_evaluator_sanity(rng):
+    """Perfect detections -> AP 1; garbage -> AP ~0; partial in between."""
+    from simple_hrnet_tpu.utils import metrics as M
+
+    gt_ann = {'annotations': []}
+    results = []
+    for img in range(6):
+        kp = rng.uniform(50, 200, (17, 3))
+        kp[:, 2] = 2
+        gt_ann['annotations'].append({
+            'image_id': img, 'category_id': 1, 'iscrowd': 0,
+            'keypoints': kp.flatten().tolist(), 'area': 150 * 150})
+        results.append({'image_id': img, 'category_id': 1,
+                        'keypoints': kp.flatten().tolist(), 'score': 0.9})
+    stats = M.coco_eval_from_results(gt_ann, results)
+    assert stats['AP'] > 0.99 and stats['AR'] > 0.99
+
+    bad = [{'image_id': r['image_id'], 'category_id': 1,
+            'keypoints': (np.asarray(r['keypoints']) + 500).tolist(),
+            'score': 0.9} for r in results]
+    stats_bad = M.coco_eval_from_results(gt_ann, bad)
+    assert stats_bad['AP'] < 0.05
