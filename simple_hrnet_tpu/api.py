@@ -83,17 +83,45 @@ class SimpleHRNet:
         self.device = self._resolve_device(device)
         self.dtype = jnp.bfloat16 if dtype in ('bfloat16', 'bf16') else None
 
-        from simple_hrnet_tpu.utils import checkpoint as ckpt
-        params = ckpt.load(checkpoint_path)
+        if enable_tensorrt or checkpoint_path.endswith('.jaxpose'):
+            # AOT engine path (the TensorRT analogue, utils/export.py):
+            # a pre-lowered StableHLO module with bound folded params.
+            from simple_hrnet_tpu.utils.export import Engine
+            engine = Engine(checkpoint_path)
+            if tuple(engine.resolution) != self.resolution:
+                raise ValueError(
+                    f'engine resolution {engine.resolution} != requested '
+                    f'{self.resolution}')
+            params = engine.params
 
-        if model_name in ('HRNet', 'hrnet'):
-            self._apply = hrnet.apply
-        elif model_name in ('PoseResNet', 'poseresnet', 'ResNet', 'resnet'):
-            self._apply = partial(poseresnet.apply, resnet_size=c)
+            def engine_apply(p, x, dtype=None):
+                n = x.shape[0]
+                eb = engine.batch_size
+                if n == eb:
+                    return engine._call(p, x)
+                import jax.numpy as _jnp
+                pad = (-n) % eb
+                xp = _jnp.concatenate(
+                    [x, _jnp.zeros((pad, *x.shape[1:]), x.dtype)]) \
+                    if pad else x
+                outs = [engine._call(p, xp[i:i + eb])
+                        for i in range(0, xp.shape[0], eb)]
+                return _jnp.concatenate(outs)[:n]
+
+            self._apply = engine_apply
         else:
-            raise ValueError('Wrong model name.')
+            from simple_hrnet_tpu.utils import checkpoint as ckpt
+            params = L.fold_batch_norm(ckpt.load(checkpoint_path))
 
-        self.params = L.fold_batch_norm(params)
+            if model_name in ('HRNet', 'hrnet'):
+                self._apply = hrnet.apply
+            elif model_name in ('PoseResNet', 'poseresnet', 'ResNet',
+                                'resnet'):
+                self._apply = partial(poseresnet.apply, resnet_size=c)
+            else:
+                raise ValueError('Wrong model name.')
+
+        self.params = params
         if self.device is not None:
             self.params = jax.device_put(self.params, self.device)
 

@@ -1,0 +1,103 @@
+"""Threaded prefetching data loader.
+
+The async-input analogue of the reference's ``DataLoader(num_workers=4)``
+(Train.py:212-218): worker threads run the cv2-heavy ``__getitem__``
+(imread/warpAffine release the GIL) while the accelerator computes, and an
+ordered prefetch queue keeps batches ready ahead of the train step — host
+input never stalls the TPU (the north-star pipelining requirement).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(items: Sequence[Any]):
+    """Stack a list of per-sample outputs into batch arrays.
+
+    Tuples/lists are collated per position; dicts per key; numeric
+    values/arrays are stacked; strings and other objects become lists.
+    """
+    first = items[0]
+    if isinstance(first, tuple):
+        return tuple(default_collate([it[i] for it in items])
+                     for i in range(len(first)))
+    if isinstance(first, dict):
+        return {k: default_collate([it[k] for it in items]) for k in first}
+    if isinstance(first, np.ndarray):
+        return np.stack(items)
+    if isinstance(first, (int, float, np.integer, np.floating)):
+        return np.asarray(items)
+    return list(items)
+
+
+class DataLoader:
+    """Iterate a map-style dataset in shuffled, prefetched batches."""
+
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
+                 num_workers: int = 4, drop_last: bool = False,
+                 seed: int = 0, prefetch_batches: int = 3,
+                 collate_fn=default_collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self.collate_fn = collate_fn
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Any]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        batches: List[np.ndarray] = []
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            batches.append(idx)
+
+        out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bidx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, bidx))
+                        out_q.put(('ok', self.collate_fn(items)))
+            except BaseException as e:  # surface worker errors to consumer
+                out_q.put(('err', e))
+                return
+            out_q.put(('done', None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == 'done':
+                    return
+                if kind == 'err':
+                    raise payload
+                yield payload
+        finally:
+            stop.set()

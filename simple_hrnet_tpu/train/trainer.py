@@ -1,0 +1,333 @@
+"""Training harness — Train / COCOTrain (reference training/Train.py:19-372,
+training/COCO.py:11-262) rebuilt around jitted XLA train steps.
+
+Per epoch: jitted fused train step over the prefetching loader, PCK + COCO
+AP (OKS-NMS + evaluator) accumulation, flip-test validation, multistep LR,
+tensorboard scalars/image grids, and checkpoints for last/best loss/acc/mAP.
+Runs single-device or data-parallel over a mesh (the reference never had
+distributed training; here it is one constructor arg).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from simple_hrnet_tpu.models import hrnet, poseresnet
+from simple_hrnet_tpu.models import layers as ML
+from simple_hrnet_tpu.ops import decode as D
+from simple_hrnet_tpu.train import losses as losses_mod
+from simple_hrnet_tpu.train import steps as steps_mod
+from simple_hrnet_tpu.utils import checkpoint as ckpt
+
+
+class Train:
+    """Generic trainer with the reference's constructor surface
+    (Train.py:29-57) plus ``mesh`` for data parallelism."""
+
+    def __init__(self,
+                 exp_name: str,
+                 ds_train,
+                 ds_val,
+                 epochs: int = 210,
+                 batch_size: int = 16,
+                 num_workers: int = 4,
+                 loss: str = 'JointsMSELoss',
+                 lr: float = 0.001,
+                 lr_decay: bool = True,
+                 lr_decay_steps=(170, 200),
+                 lr_decay_gamma: float = 0.1,
+                 optimizer: str = 'Adam',
+                 weight_decay: float = 0.,
+                 momentum: float = 0.9,
+                 nesterov: bool = False,
+                 pretrained_weight_path: Optional[str] = None,
+                 checkpoint_path: Optional[str] = None,
+                 log_path: str = './logs',
+                 use_tensorboard: bool = True,
+                 model_c: int = 48,
+                 model_nof_joints: int = 17,
+                 model_bn_momentum: float = 0.1,
+                 flip_test_images: bool = True,
+                 model_name: str = 'HRNet',
+                 mesh=None,
+                 seed: int = 0):
+        self.exp_name = exp_name
+        self.ds_train = ds_train
+        self.ds_val = ds_val
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.loss_name = loss
+        self.model_c = model_c
+        self.model_nof_joints = model_nof_joints
+        self.model_bn_momentum = model_bn_momentum
+        self.flip_test_images = flip_test_images
+        self.mesh = mesh
+        self.epoch = 0
+
+        ts = datetime.now().strftime('%Y%m%d_%H%M')
+        self.log_path = os.path.join(log_path, f'{ts}_{exp_name}')
+        os.makedirs(self.log_path, exist_ok=True)
+
+        self.use_tensorboard = use_tensorboard
+        self.summary_writer = None
+        if use_tensorboard:
+            import tensorboardX
+            self.summary_writer = tensorboardX.SummaryWriter(self.log_path)
+
+        parameters = {k: v for k, v in locals().items()
+                      if k not in ('self', 'ds_train', 'ds_val')}
+        with open(os.path.join(self.log_path, 'parameters.txt'), 'w') as fd:
+            fd.write(str(parameters))
+        if self.summary_writer is not None:
+            self.summary_writer.add_text('parameters', str(parameters))
+
+        # model
+        if model_name in ('HRNet', 'hrnet'):
+            self.apply_fn = hrnet.apply
+            self.params = hrnet.init(jax.random.PRNGKey(seed), c=model_c,
+                                     nof_joints=model_nof_joints)
+        else:
+            self.apply_fn = lambda p, x, **kw: poseresnet.apply(
+                p, x, resnet_size=model_c, **kw)
+            self.params = poseresnet.init(jax.random.PRNGKey(seed),
+                                          resnet_size=model_c,
+                                          nof_joints=model_nof_joints)
+
+        self.loss_fn = losses_mod.get_loss(loss)
+
+        # optional imagenet-pretrained weights (strict=False analogue:
+        # merge leaves that exist with matching shapes, Train.py:183-191)
+        if pretrained_weight_path is not None:
+            pre = ckpt.load(pretrained_weight_path)
+            self.params = _merge_matching(self.params, pre)
+            print(f'Pre-trained weights loaded from {pretrained_weight_path}')
+
+        from simple_hrnet_tpu.data.loader import DataLoader
+        self.dl_train = DataLoader(ds_train, batch_size=batch_size,
+                                   shuffle=True, num_workers=num_workers,
+                                   drop_last=True, seed=seed)
+        self.dl_val = DataLoader(ds_val, batch_size=batch_size,
+                                 shuffle=False, num_workers=num_workers)
+        self.len_dl_train = len(self.dl_train)
+        self.len_dl_val = len(self.dl_val)
+
+        self.optimizer = steps_mod.make_optimizer(
+            optimizer, lr=lr, momentum=momentum, nesterov=nesterov,
+            weight_decay=weight_decay, lr_decay=lr_decay,
+            lr_decay_steps=lr_decay_steps, lr_decay_gamma=lr_decay_gamma,
+            steps_per_epoch=self.len_dl_train)
+        self.opt_state = self.optimizer.init(self.params)
+
+        # checkpoint resume (Train.py:195-204)
+        if checkpoint_path is not None:
+            print(f'Loading checkpoint {checkpoint_path} ...')
+            step, self.params, self.opt_state, cfg = ckpt.load_train(
+                checkpoint_path)
+            self.epoch = (cfg or {}).get('epoch', step or 0)
+            print(f'Resuming from epoch {self.epoch}')
+
+        self._train_step = steps_mod.make_train_step(
+            self.apply_fn, self.loss_fn, self.optimizer, mesh=mesh,
+            donate=False)
+        flip_pairs = getattr(ds_val, 'flip_pairs', None) \
+            if flip_test_images else None
+        self._eval_step = steps_mod.make_eval_step(
+            self.apply_fn, self.loss_fn, flip_pairs=flip_pairs, mesh=mesh)
+
+        if mesh is not None:
+            from simple_hrnet_tpu.parallel import replicate
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
+
+        self.best_loss = None
+        self.best_acc = None
+        self.best_mAP = None
+        self.mean_loss_train = 0.
+        self.mean_acc_train = 0.
+        self.mean_loss_val = 0.
+        self.mean_acc_val = 0.
+        self.mean_mAP_val = 0.
+
+    # -- hooks for subclasses ----------------------------------------------
+
+    def _make_batch(self, image, target, target_weight):
+        batch = {'image': np.asarray(image), 'target': np.asarray(target),
+                 'target_weight': np.asarray(target_weight)}
+        if self.mesh is not None:
+            from simple_hrnet_tpu.parallel import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def _train(self):
+        self.mean_loss_train = 0.
+        self.mean_acc_train = 0.
+        for step, (image, target, target_weight, joints_data) in enumerate(
+                self.dl_train):
+            batch = self._make_batch(image, target, target_weight)
+            self.params, self.opt_state, loss, output = self._train_step(
+                self.params, self.opt_state, batch)
+
+            accs, avg_acc, cnt, joints_preds, joints_target = \
+                self.ds_train.evaluate_accuracy(output, batch['target'])
+            loss = float(loss)
+            avg_acc = float(avg_acc)
+            self.mean_loss_train += loss
+            self.mean_acc_train += avg_acc
+            self._log_step('train', step, loss, avg_acc, image, target,
+                           joints_target, output, joints_preds, joints_data)
+        self.mean_loss_train /= self.len_dl_train
+        self.mean_acc_train /= self.len_dl_train
+        print(f'\nTrain: Loss {self.mean_loss_train:f} - '
+              f'Accuracy {self.mean_acc_train:f}')
+
+    def _val(self):
+        self.mean_loss_val = 0.
+        self.mean_acc_val = 0.
+        for step, (image, target, target_weight, joints_data) in enumerate(
+                self.dl_val):
+            batch = self._make_batch(image, target, target_weight)
+            loss, output = self._eval_step(self.params, batch)
+            accs, avg_acc, cnt, joints_preds, joints_target = \
+                self.ds_val.evaluate_accuracy(output, batch['target'])
+            self.mean_loss_val += float(loss)
+            self.mean_acc_val += float(avg_acc)
+            self._log_step('val', step, float(loss), float(avg_acc), image,
+                           target, joints_target, output, joints_preds,
+                           joints_data)
+        self.mean_loss_val /= self.len_dl_val
+        self.mean_acc_val /= self.len_dl_val
+        print(f'\nValidation: Loss {self.mean_loss_val:f} - '
+              f'Accuracy {self.mean_acc_val:f}')
+
+    def _log_step(self, prefix, step, loss, acc, image, target,
+                  joints_target, output, joints_preds, joints_data):
+        if self.summary_writer is None:
+            return
+        steps_per = self.len_dl_train if prefix == 'train' else self.len_dl_val
+        global_step = step + self.epoch * steps_per
+        self.summary_writer.add_scalar(f'{prefix}_loss', loss, global_step)
+        self.summary_writer.add_scalar(f'{prefix}_acc', acc, global_step)
+        if step == 0:
+            from simple_hrnet_tpu.utils.visualization import save_images
+            save_images(image, target, np.asarray(joints_target),
+                        np.asarray(output), np.asarray(joints_preds),
+                        joints_data['joints_visibility'],
+                        self.summary_writer, step=global_step,
+                        prefix=f'{prefix}_')
+
+    def _checkpoint(self):
+        """last + best loss/acc/mAP (Train.py:313-332), orbax + npz params."""
+        ckpt.save_train(os.path.join(self.log_path, 'checkpoint_last'),
+                        self.epoch + 1, self.params, self.opt_state,
+                        config={'epoch': self.epoch + 1,
+                                'model_c': self.model_c,
+                                'nof_joints': self.model_nof_joints})
+        ckpt.save(os.path.join(self.log_path, 'params_last.npz'), self.params)
+
+        if self.best_loss is None or self.best_loss > self.mean_loss_val:
+            self.best_loss = self.mean_loss_val
+            print(f'best_loss {self.best_loss:f} at epoch {self.epoch + 1}')
+            ckpt.save(os.path.join(self.log_path, 'params_best_loss.npz'),
+                      self.params)
+        if self.best_acc is None or self.best_acc < self.mean_acc_val:
+            self.best_acc = self.mean_acc_val
+            print(f'best_acc {self.best_acc:f} at epoch {self.epoch + 1}')
+            ckpt.save(os.path.join(self.log_path, 'params_best_acc.npz'),
+                      self.params)
+        if self.best_mAP is None or self.best_mAP < self.mean_mAP_val:
+            self.best_mAP = self.mean_mAP_val
+            print(f'best_mAP {self.best_mAP:f} at epoch {self.epoch + 1}')
+            ckpt.save(os.path.join(self.log_path, 'params_best_mAP.npz'),
+                      self.params)
+
+    def run(self):
+        """Epoch loop (Train.py:334-370)."""
+        for self.epoch in range(self.epoch, self.epochs):
+            print(f'\nEpoch {self.epoch + 1} of {self.epochs} '
+                  f'@ {datetime.now().strftime("%Y-%m-%d %H:%M:%S")}')
+            self._train()
+            self._val()
+            self._checkpoint()
+
+
+class COCOTrain(Train):
+    """COCO-specific trainer adding per-epoch COCO AP (training/COCO.py:11)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._reset_epoch_preds()
+
+    def _reset_epoch_preds(self):
+        self._all_preds = []
+        self._all_boxes = []
+        self._image_paths = []
+
+    def _accumulate(self, output, joints_data):
+        c = np.asarray(joints_data['center'])
+        s = np.asarray(joints_data['scale'])
+        score = np.asarray(joints_data['score'])
+        preds, maxvals = D.get_final_preds(np.asarray(output), c, s, 200.0)
+        preds = np.asarray(preds)
+        maxvals = np.asarray(maxvals)
+        n = preds.shape[0]
+        boxes = np.zeros((n, 6), np.float32)
+        boxes[:, 0:2] = c
+        boxes[:, 2:4] = s
+        boxes[:, 4] = np.prod(s * 200.0, axis=1)
+        boxes[:, 5] = score
+        self._all_preds.append(
+            np.concatenate([preds, maxvals], axis=2).astype(np.float32))
+        self._all_boxes.append(boxes)
+        self._image_paths.extend(list(joints_data['imgPath']))
+
+    def _log_step(self, prefix, step, loss, acc, image, target,
+                  joints_target, output, joints_preds, joints_data):
+        super()._log_step(prefix, step, loss, acc, image, target,
+                          joints_target, output, joints_preds, joints_data)
+        self._accumulate(output, joints_data)
+
+    def _train(self):
+        self._reset_epoch_preds()
+        super()._train()
+        print('\nTrain AP/AR')
+        self.train_accs, self.mean_mAP_train = self._overall(self.ds_train)
+
+    def _val(self):
+        self._reset_epoch_preds()
+        super()._val()
+        print('\nVal AP/AR')
+        self.val_accs, self.mean_mAP_val = self._overall(self.ds_val)
+
+    def _overall(self, ds):
+        if not self._all_preds:
+            return {}, 0.0
+        preds = np.concatenate(self._all_preds)
+        boxes = np.concatenate(self._all_boxes)
+        return ds.evaluate_overall_accuracy(
+            preds, boxes, self._image_paths, output_dir=self.log_path)
+
+
+def _merge_matching(dst: Dict[str, Any], src: Dict[str, Any]) -> Dict[str, Any]:
+    """Copy leaves from src whose path+shape match dst (strict=False load)."""
+    if not isinstance(dst, dict):
+        return dst
+    out = {}
+    for k, v in dst.items():
+        if isinstance(v, dict):
+            out[k] = _merge_matching(v, src.get(k, {}) if isinstance(src, dict)
+                                     else {})
+        else:
+            sv = src.get(k) if isinstance(src, dict) else None
+            if sv is not None and hasattr(sv, 'shape') and \
+                    tuple(sv.shape) == tuple(v.shape):
+                out[k] = jnp.asarray(sv)
+            else:
+                out[k] = v
+    return out

@@ -1,0 +1,141 @@
+"""End-to-end COCO pipeline on a synthetic mini-dataset: dataset semantics,
+loader, one full COCOTrain epoch with COCO AP eval, and the Test harness."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def mini_coco(tmp_path_factory):
+    """4-image COCO-format keypoint dataset written to disk."""
+    import cv2
+
+    root = tmp_path_factory.mktemp('coco')
+    (root / 'train2017').mkdir()
+    (root / 'annotations').mkdir()
+
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, 5):
+        h, w = 120, 160
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / 'train2017' / ('%012d.jpg' % img_id)), img)
+        images.append({'id': img_id, 'width': w, 'height': h,
+                       'file_name': '%012d.jpg' % img_id})
+        for _ in range(2):  # two people per image
+            x, y = rng.integers(5, 60, 2)
+            bw, bh = rng.integers(40, 70, 2)
+            kpts = []
+            for j in range(17):
+                kx = float(np.clip(x + rng.uniform(0, bw), 0, w - 1))
+                ky = float(np.clip(y + rng.uniform(0, bh), 0, h - 1))
+                kpts.extend([kx, ky, 2])
+            annotations.append({
+                'id': ann_id, 'image_id': img_id, 'category_id': 1,
+                'iscrowd': 0, 'bbox': [float(x), float(y), float(bw),
+                                       float(bh)],
+                'area': float(bw * bh), 'keypoints': kpts,
+                'num_keypoints': 17})
+            ann_id += 1
+
+    with open(root / 'annotations' / 'person_keypoints_train2017.json',
+              'w') as f:
+        json.dump({'images': images, 'annotations': annotations,
+                   'categories': [{'id': 1, 'name': 'person'}]}, f)
+    return str(root)
+
+
+def test_dataset_item_semantics(mini_coco):
+    from simple_hrnet_tpu.data.coco import COCODataset
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, image_width=64, image_height=64)
+    assert len(ds) == 8  # 4 images x 2 people
+    image, target, target_weight, meta = ds[0]
+    assert image.shape == (64, 64, 3)          # NHWC item (H, W, C)
+    assert target.shape == (16, 16, 17)
+    assert target_weight.shape == (17, 1)
+    assert np.isfinite(image).all()
+    # gaussian peaks are 1 where visible
+    visible = target_weight[:, 0] > 0.5
+    assert target.transpose(2, 0, 1)[visible].max() == pytest.approx(1.0)
+    # center/scale follow the pixel_std 200, *1.25 convention
+    assert meta['scale'].shape == (2,)
+
+
+def test_dataset_augmentation_randomness(mini_coco):
+    from simple_hrnet_tpu.data.coco import COCODataset
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=True, image_width=64, image_height=64,
+                     half_body_prob=0.5, flip_prob=0.5, rotate_prob=0.5)
+    a = ds[0][0]
+    imgs = [ds[0][0] for _ in range(8)]
+    assert any(not np.allclose(a, b) for b in imgs)  # aug actually applied
+
+
+def test_loader_batches_and_order(mini_coco):
+    from simple_hrnet_tpu.data.coco import COCODataset
+    from simple_hrnet_tpu.data.loader import DataLoader
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, image_width=64, image_height=64)
+    dl = DataLoader(ds, batch_size=3, shuffle=False, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 3  # 8 items -> 3+3+2
+    image, target, tw, meta = batches[0]
+    assert image.shape == (3, 64, 64, 3)
+    assert target.shape == (3, 16, 16, 17)
+    assert isinstance(meta['imgPath'], list)
+    assert meta['center'].shape == (3, 2)
+
+    # worker errors propagate
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError('boom')
+
+    with pytest.raises(RuntimeError, match='boom'):
+        list(DataLoader(Broken(), batch_size=2))
+
+
+def test_coco_train_one_epoch(mini_coco, tmp_path):
+    """Full COCOTrain epoch: fused step + PCK + COCO AP + checkpoints."""
+    from simple_hrnet_tpu.data.coco import COCODataset
+    from simple_hrnet_tpu.train.trainer import COCOTrain
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=True, image_width=64, image_height=64,
+                     half_body_prob=0.0, rotate_prob=0.0)
+    ds_val = COCODataset(root_path=mini_coco, data_version='train2017',
+                         is_train=False, image_width=64, image_height=64)
+
+    train = COCOTrain(exp_name='mini', ds_train=ds, ds_val=ds_val,
+                      epochs=1, batch_size=4, num_workers=2,
+                      lr=1e-3, lr_decay=False, optimizer='Adam',
+                      log_path=str(tmp_path), use_tensorboard=True,
+                      model_c=4, model_nof_joints=17,
+                      flip_test_images=True, model_name='HRNet')
+    train.run()
+
+    assert np.isfinite(train.mean_loss_train)
+    assert np.isfinite(train.mean_loss_val)
+    assert 0.0 <= train.mean_mAP_val <= 1.0
+    files = os.listdir(train.log_path)
+    assert 'params_last.npz' in files
+    assert 'parameters.txt' in files
+    assert any(f.startswith('checkpoint_last') for f in files)
+
+    # the saved params drive the Test harness
+    from simple_hrnet_tpu.train.test import Test
+    t = Test(ds_test=ds_val, batch_size=4, num_workers=2,
+             checkpoint_path=os.path.join(train.log_path, 'params_last.npz'),
+             model_c=4, model_nof_joints=17)
+    loss, acc = t.run()
+    assert np.isfinite(loss)

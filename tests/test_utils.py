@@ -1,0 +1,194 @@
+"""Tracking, visualization, export engine, and CLI smoke tests."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import conftest
+
+
+def test_tracking_association_parity(rng):
+    """scipy assignment == reference munkres flow on the same matrices."""
+    conftest.reference_on_path()
+    from simple_hrnet_tpu.utils import tracking as T
+
+    # two frames with an obvious permutation + one new person
+    boxes_prev = np.array([[10, 10, 60, 120], [100, 20, 160, 140]], np.float32)
+    pts_prev = rng.uniform(0, 100, (2, 17, 3)).astype(np.float32)
+    pts_prev[0, :, 0] += 10
+    pts_prev[1, :, 0] += 100
+    prev_ids = np.array([7, 3], np.int32)
+
+    # current: person 1 first (swapped), plus a new far-away person
+    boxes = np.array([[101, 21, 161, 141], [11, 11, 61, 121],
+                      [300, 300, 360, 420]], np.float32)
+    pts = np.stack([pts_prev[1] + 1.0, pts_prev[0] + 1.0,
+                    rng.uniform(300, 400, (17, 3))]).astype(np.float32)
+
+    out_boxes, out_pts, ids = T.find_person_id_associations(
+        boxes, pts, boxes_prev, pts_prev, prev_ids, next_person_id=10)
+    assert list(ids) == [3, 7, 10]
+
+    # smoothing pulls boxes toward previous frame
+    _, sm_pts, _ = T.find_person_id_associations(
+        boxes.copy(), pts.copy(), boxes_prev, pts_prev, prev_ids,
+        next_person_id=10, smoothing_alpha=0.5)
+    assert np.all(np.abs(sm_pts[0] - (0.5 * pts[0] + 0.5 * pts_prev[1]))
+                  < 1e-4)
+
+
+def test_similarity_matrices(rng):
+    from simple_hrnet_tpu.utils import tracking as T
+
+    boxes = [np.array([0, 0, 10, 10], np.float32),
+             np.array([5, 5, 15, 15], np.float32)]
+    pts = [rng.uniform(0, 10, (17, 3)).astype(np.float32) for _ in range(2)]
+    bbox_sim, pose_sim = T.compute_similarity_matrices(boxes, boxes, pts, pts)
+    np.testing.assert_allclose(np.diag(bbox_sim), [1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.diag(pose_sim), [1.0, 1.0], atol=1e-3)
+    assert bbox_sim[0, 1] == pytest.approx(25 / 175, abs=1e-5)
+
+
+def test_draw_and_grid(rng):
+    from simple_hrnet_tpu.utils import visualization as V
+
+    img = np.zeros((100, 80, 3), np.uint8)
+    pts = np.zeros((17, 3), np.float32)
+    pts[:, 0] = rng.uniform(10, 90, 17)
+    pts[:, 1] = rng.uniform(10, 70, 17)
+    pts[:, 2] = 1.0
+    out = V.draw_points_and_skeleton(img.copy(), pts)
+    assert out.sum() > 0  # something was drawn
+
+    grid = V._make_grid(rng.uniform(0, 1, (5, 16, 12, 3)).astype(np.float32))
+    assert grid.shape[0] > 16 and grid.shape[2] == 3
+
+
+def test_export_engine_roundtrip(tmp_path, rng):
+    """Export a .jaxpose engine and run it — outputs match the live model."""
+    import jax
+    from simple_hrnet_tpu.models import poseresnet
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+    from simple_hrnet_tpu.utils.export import Engine, export_engine
+
+    params = poseresnet.init(jax.random.PRNGKey(0), resnet_size=18,
+                             nof_joints=17)
+    ckpt_path = str(tmp_path / 'p18.npz')
+    ckpt.save(ckpt_path, params)
+
+    out = export_engine(str(tmp_path / 'p18.jaxpose'), ckpt_path, c=18,
+                        model_name='PoseResNet', resolution=(64, 64),
+                        batch_size=2)
+    engine = Engine(out)
+    assert engine.batch_size == 2
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    y_engine = np.asarray(engine(x))
+    y_live = np.asarray(poseresnet.apply(L.fold_batch_norm(params), x,
+                                         resnet_size=18))
+    np.testing.assert_allclose(y_engine, y_live, atol=1e-4, rtol=1e-4)
+
+
+def test_cli_parsers_match_reference_flags():
+    """Every reference CLI flag exists on our parsers."""
+    from simple_hrnet_tpu.cli import (extract_keypoints, live_demo,
+                                      train_coco)
+
+    def flags(parser):
+        out = set()
+        for a in parser._actions:
+            out.update(a.option_strings)
+        return out
+
+    live = flags(live_demo.build_parser())
+    for f in ['--camera_id', '--filename', '--hrnet_m', '--hrnet_c',
+              '--hrnet_j', '--hrnet_weights', '--hrnet_joints_set',
+              '--image_resolution', '--single_person', '--yolo_version',
+              '--use_tiny_yolo', '--disable_tracking', '--max_batch_size',
+              '--disable_vidgear', '--save_video', '--video_format',
+              '--video_framerate', '--device', '--enable_tensorrt']:
+        assert f in live, f
+
+    ext = flags(extract_keypoints.build_parser())
+    for f in ['--format', '--filename', '--csv_output_filename',
+              '--csv_delimiter', '--json_output_filename']:
+        assert f in ext, f
+
+    tr = flags(train_coco.build_parser())
+    for f in ['--exp_name', '--epochs', '--batch_size', '--lr',
+              '--disable_lr_decay', '--lr_decay_steps', '--lr_decay_gamma',
+              '--optimizer', '--weight_decay', '--momentum', '--nesterov',
+              '--pretrained_weight_path', '--checkpoint_path', '--log_path',
+              '--disable_tensorboard_log', '--model_c', '--model_nof_joints',
+              '--model_bn_momentum', '--disable_flip_test_images',
+              '--image_resolution', '--coco_root_path', '--coco_bbox_path',
+              '--seed', '--device']:
+        assert f in tr, f
+
+
+def test_extract_keypoints_on_synthetic_video(tmp_path, w32_small=None):
+    """Full extract-keypoints CLI on a tiny generated video (single person)."""
+    import cv2
+    import torch
+
+    conftest.reference_on_path()
+    from models_.hrnet import HRNet as TorchHRNet
+
+    torch.manual_seed(0)
+    ckpt_path = str(tmp_path / 'w32.pth')
+    torch.save(TorchHRNet(c=32, nof_joints=17).state_dict(), ckpt_path)
+
+    video = str(tmp_path / 'in.avi')
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 10,
+                             (96, 128))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        writer.write(rng.uniform(0, 255, (128, 96, 3)).astype(np.uint8))
+    writer.release()
+
+    from simple_hrnet_tpu.cli.extract_keypoints import main
+    csv_out = str(tmp_path / 'out.csv')
+    json_out = str(tmp_path / 'out.json')
+    main(format='csv', filename=video, hrnet_c=32, hrnet_weights=ckpt_path,
+         image_resolution='(128, 96)', single_person=True,
+         csv_output_filename=csv_out, max_frames=2)
+    main(format='json', filename=video, hrnet_c=32, hrnet_weights=ckpt_path,
+         image_resolution='(128, 96)', single_person=True,
+         json_output_filename=json_out, max_frames=2)
+
+    import csv as csv_mod
+    import json as json_mod
+    rows = list(csv_mod.reader(open(csv_out)))
+    assert len(rows) == 2              # 2 frames x 1 person
+    assert len(rows[0]) == 2 + 17 * 3  # frame, det, 17x(y,x,conf)
+    data = json_mod.load(open(json_out))
+    assert set(data.keys()) == {'0', '1'}
+    assert np.asarray(data['0']).shape == (1, 17, 3)
+
+
+def test_facade_engine_path(tmp_path, rng):
+    """SimpleHRNet(enable_tensorrt=True) runs from a .jaxpose engine and
+    matches the live-model facade output."""
+    import jax
+    from simple_hrnet_tpu import SimpleHRNet
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+    from simple_hrnet_tpu.utils.export import export_engine
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=4, nof_joints=17)
+    ckpt_path = str(tmp_path / 'w4.npz')
+    ckpt.save(ckpt_path, params)
+    engine_path = export_engine(str(tmp_path / 'w4.jaxpose'), ckpt_path,
+                                c=4, resolution=(64, 64), batch_size=1)
+
+    frame = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    live = SimpleHRNet(4, 17, ckpt_path, multiperson=False,
+                       resolution=(64, 64))
+    eng = SimpleHRNet(4, 17, engine_path, multiperson=False,
+                      resolution=(64, 64), enable_tensorrt=True)
+    np.testing.assert_allclose(eng.predict(frame), live.predict(frame),
+                               atol=1e-4, rtol=1e-4)
