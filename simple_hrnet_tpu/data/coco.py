@@ -26,6 +26,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from simple_hrnet_tpu.data import target as target_gen
+from simple_hrnet_tpu.data.base import HumanPoseEstimationDataset
 from simple_hrnet_tpu.data.coco_io import COCOAnnotations
 from simple_hrnet_tpu.ops import affine
 from simple_hrnet_tpu.ops import nms as nms_ops
@@ -45,7 +46,7 @@ def fliplr_joints(joints, joints_vis, width, matched_parts):
     return joints * joints_vis, joints_vis
 
 
-class COCODataset:
+class COCODataset(HumanPoseEstimationDataset):
     """Same constructor surface as the reference COCODataset (COCO.py:27-32)."""
 
     def __init__(self,

@@ -1,16 +1,406 @@
-"""YOLOv5 person detector (native JAX implementation) — placeholder.
+"""YOLOv5 person detector — native JAX implementation.
 
-The reference loads YOLOv5 via torch.hub (models_/detectors/YOLOv5.py:61-66).
-A native CSP/SPPF/PANet implementation with ultralytics checkpoint conversion
-is planned; until then this raises with a clear message. YOLOv3 /
-YOLOv3-tiny (detectors/yolov3.py) are fully supported.
+The reference delegates YOLOv5 entirely to torch.hub
+(models_/detectors/YOLOv5.py:61-66); here the v6.x architecture
+(CSPDarknet C3 backbone + SPPF + PANet head + anchor Detect) is built
+natively with the standard depth/width multiples (n/s/m/l/x), and original
+ultralytics ``.pt`` checkpoints load through a stub-unpickler that extracts
+the state_dict without needing the ultralytics package (utils below).
+
+The adapter contract matches the reference's YOLOv5 wrapper
+(YOLOv5.py:42-103): ``predict_single`` returns (n, 7) rows
+(x1, y1, x2, y2, conf, cls_conf, cls_pred) filtered to person and
+conf-thresholded; batch ``predict`` is supported here (the reference raises
+NotImplementedError, YOLOv5.py:102-103).
 """
 
 from __future__ import annotations
 
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from simple_hrnet_tpu.models import layers as L
+from simple_hrnet_tpu.ops import nms as nms_ops
+
+Params = Dict[str, Any]
+
+# depth_multiple, width_multiple per variant (ultralytics yolov5*.yaml)
+VARIANTS = {
+    'yolov5n': (0.33, 0.25),
+    'yolov5s': (0.33, 0.50),
+    'yolov5m': (0.67, 0.75),
+    'yolov5l': (1.00, 1.00),
+    'yolov5x': (1.33, 1.25),
+}
+
+ANCHORS = np.asarray([
+    [[10, 13], [16, 30], [33, 23]],        # P3/8
+    [[30, 61], [62, 45], [59, 119]],       # P4/16
+    [[116, 90], [156, 198], [373, 326]],   # P5/32
+], np.float32)
+
+
+def _divisible(x: float, d: int = 8) -> int:
+    return max(d, int(math.ceil(x / d) * d)) if x > 0 else 0
+
+
+def _depth(n: int, d: float) -> int:
+    return max(round(n * d), 1)
+
+
+def build_config(variant: str = 'yolov5m', num_classes: int = 80) -> dict:
+    """Static layer plan: channels and repeat counts for a variant."""
+    d, w = VARIANTS[variant]
+    ch = {k: _divisible(v * w) for k, v in
+          {'64': 64, '128': 128, '256': 256, '512': 512, '1024': 1024}.items()}
+    return {
+        'variant': variant, 'num_classes': num_classes,
+        'c64': ch['64'], 'c128': ch['128'], 'c256': ch['256'],
+        'c512': ch['512'], 'c1024': ch['1024'],
+        'n3': _depth(3, d), 'n6': _depth(6, d), 'n9': _depth(9, d),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Blocks (param trees mirror ultralytics naming: conv/bn, cv1/cv2/cv3, m.N)
+# ---------------------------------------------------------------------------
+
+def _conv(p: Params, x, *, stride=1, pad=None, act=True, dtype=None):
+    """ultralytics Conv: conv -> BN -> SiLU (folded BN supported)."""
+    k = p['conv']['kernel'].shape[0]
+    if pad is None:
+        pad = k // 2
+    x = L.conv2d(x, p['conv'], stride=stride, padding=pad, dtype=dtype)
+    if 'bn' in p:
+        x = L.batch_norm(x, p['bn'])
+    if act:
+        x = jax.nn.silu(x)
+    return x
+
+
+def _bottleneck(p: Params, x, *, shortcut=True, dtype=None):
+    y = _conv(p['cv1'], x, dtype=dtype)
+    y = _conv(p['cv2'], y, dtype=dtype)
+    return x + y if shortcut else y
+
+
+def _c3(p: Params, x, *, n, shortcut=True, dtype=None):
+    a = _conv(p['cv1'], x, dtype=dtype)
+    for i in range(n):
+        a = _bottleneck(p['m'][str(i)], a, shortcut=shortcut, dtype=dtype)
+    b = _conv(p['cv2'], x, dtype=dtype)
+    return _conv(p['cv3'], jnp.concatenate([a, b], axis=-1), dtype=dtype)
+
+
+def _sppf(p: Params, x, *, dtype=None):
+    x = _conv(p['cv1'], x, dtype=dtype)
+    y1 = L.max_pool(x, window=5, stride=1, padding=2)
+    y2 = L.max_pool(y1, window=5, stride=1, padding=2)
+    y3 = L.max_pool(y2, window=5, stride=1, padding=2)
+    return _conv(p['cv2'], jnp.concatenate([x, y1, y2, y3], axis=-1),
+                 dtype=dtype)
+
+
+def apply(params: Params, cfg: dict, x: jnp.ndarray, img_size: int,
+          dtype=None) -> jnp.ndarray:
+    """Forward: (N, S, S, 3) in [0,1] -> (N, total_anchors, 5 + classes)."""
+    m = params['model']
+    kw = dict(dtype=dtype)
+    n3, n6, n9 = cfg['n3'], cfg['n6'], cfg['n9']
+
+    x = _conv(m['0'], x, stride=2, pad=2, **kw)                   # P1/2
+    x = _conv(m['1'], x, stride=2, **kw)                          # P2/4
+    x = _c3(m['2'], x, n=n3, **kw)
+    x = _conv(m['3'], x, stride=2, **kw)                          # P3/8
+    p3 = x = _c3(m['4'], x, n=n6, **kw)
+    x = _conv(m['5'], x, stride=2, **kw)                          # P4/16
+    p4 = x = _c3(m['6'], x, n=n9, **kw)
+    x = _conv(m['7'], x, stride=2, **kw)                          # P5/32
+    x = _c3(m['8'], x, n=n3, **kw)
+    x = _sppf(m['9'], x, **kw)
+
+    x = h10 = _conv(m['10'], x, **kw)
+    x = L.upsample_nearest(x, 2)
+    x = jnp.concatenate([x, p4], axis=-1)
+    x = _c3(m['13'], x, n=n3, shortcut=False, **kw)
+    x = h14 = _conv(m['14'], x, **kw)
+    x = L.upsample_nearest(x, 2)
+    x = jnp.concatenate([x, p3], axis=-1)
+    out3 = x = _c3(m['17'], x, n=n3, shortcut=False, **kw)        # P3 head
+    x = _conv(m['18'], x, stride=2, **kw)
+    x = jnp.concatenate([x, h14], axis=-1)
+    out4 = x = _c3(m['20'], x, n=n3, shortcut=False, **kw)        # P4 head
+    x = _conv(m['21'], x, stride=2, **kw)
+    x = jnp.concatenate([x, h10], axis=-1)
+    out5 = _c3(m['23'], x, n=n3, shortcut=False, **kw)            # P5 head
+
+    det = m['24']
+    outs = []
+    for li, feat in enumerate((out3, out4, out5)):
+        y = L.conv2d(feat.astype(jnp.float32), det['m'][str(li)],
+                     stride=1, padding=0)
+        outs.append(_detect_decode(y, li, img_size))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _detect_decode(y: jnp.ndarray, level: int, img_size: int) -> jnp.ndarray:
+    """v5 Detect decode: xy = (2s(t)-0.5+grid)*stride; wh = (2s(t))^2*anchor."""
+    n, gh, gw, _ = y.shape
+    stride = img_size / gw
+    nc = y.shape[-1] // 3 - 5
+    y = y.reshape(n, gh, gw, 3, 5 + nc)
+    y = jax.nn.sigmoid(y)
+    cy = jnp.arange(gh, dtype=jnp.float32)[None, :, None, None]
+    cx = jnp.arange(gw, dtype=jnp.float32)[None, None, :, None]
+    anchors = jnp.asarray(ANCHORS[level])
+    bx = (y[..., 0] * 2 - 0.5 + cx) * stride
+    by = (y[..., 1] * 2 - 0.5 + cy) * stride
+    bw = jnp.square(y[..., 2] * 2) * anchors[None, None, None, :, 0]
+    bh = jnp.square(y[..., 3] * 2) * anchors[None, None, None, :, 1]
+    out = jnp.concatenate(
+        [jnp.stack([bx, by, bw, bh, y[..., 4]], axis=-1), y[..., 5:]],
+        axis=-1)
+    return out.transpose(0, 3, 1, 2, 4).reshape(n, 3 * gh * gw, 5 + nc)
+
+
+# ---------------------------------------------------------------------------
+# Init + checkpoint loading
+# ---------------------------------------------------------------------------
+
+def _init_conv_block(key, c_in, c_out, k) -> Params:
+    return {'conv': L.init_conv(key, k, c_in, c_out), 'bn': L.init_bn(c_out)}
+
+
+def _init_bottleneck5(key, c_in, c_out, e=1.0) -> Params:
+    c_ = int(c_out * e)
+    k1, k2 = jax.random.split(key)
+    return {'cv1': _init_conv_block(k1, c_in, c_, 1),
+            'cv2': _init_conv_block(k2, c_, c_out, 3)}
+
+
+def _init_c3(key, c_in, c_out, n, e=0.5) -> Params:
+    c_ = int(c_out * e)
+    keys = jax.random.split(key, n + 3)
+    return {'cv1': _init_conv_block(keys[0], c_in, c_, 1),
+            'cv2': _init_conv_block(keys[1], c_in, c_, 1),
+            'cv3': _init_conv_block(keys[2], 2 * c_, c_out, 1),
+            'm': {str(i): _init_bottleneck5(keys[3 + i], c_, c_)
+                  for i in range(n)}}
+
+
+def init(key, cfg: dict) -> Params:
+    nf = 3 * (cfg['num_classes'] + 5)
+    c64, c128, c256 = cfg['c64'], cfg['c128'], cfg['c256']
+    c512, c1024 = cfg['c512'], cfg['c1024']
+    n3, n6, n9 = cfg['n3'], cfg['n6'], cfg['n9']
+    keys = iter(jax.random.split(key, 32))
+    m: Params = {}
+    m['0'] = _init_conv_block(next(keys), 3, c64, 6)
+    m['1'] = _init_conv_block(next(keys), c64, c128, 3)
+    m['2'] = _init_c3(next(keys), c128, c128, n3)
+    m['3'] = _init_conv_block(next(keys), c128, c256, 3)
+    m['4'] = _init_c3(next(keys), c256, c256, n6)
+    m['5'] = _init_conv_block(next(keys), c256, c512, 3)
+    m['6'] = _init_c3(next(keys), c512, c512, n9)
+    m['7'] = _init_conv_block(next(keys), c512, c1024, 3)
+    m['8'] = _init_c3(next(keys), c1024, c1024, n3)
+    m['9'] = {'cv1': _init_conv_block(next(keys), c1024, c1024 // 2, 1),
+              'cv2': _init_conv_block(next(keys), c1024 * 2, c1024, 1)}
+    m['10'] = _init_conv_block(next(keys), c1024, c512, 1)
+    m['13'] = _init_c3(next(keys), c1024, c512, n3)
+    m['14'] = _init_conv_block(next(keys), c512, c256, 1)
+    m['17'] = _init_c3(next(keys), c512, c256, n3)
+    m['18'] = _init_conv_block(next(keys), c256, c256, 3)
+    m['20'] = _init_c3(next(keys), c512, c512, n3)
+    m['21'] = _init_conv_block(next(keys), c512, c512, 3)
+    m['23'] = _init_c3(next(keys), c1024, c1024, n3)
+    m['24'] = {'m': {str(i): L.init_conv(next(keys), 1, c, nf, bias=True)
+                     for i, c in enumerate((c256, c512, c1024))}}
+    return {'model': m}
+
+
+def load_ultralytics_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Extract a flat state_dict from an ultralytics YOLOv5 ``.pt``.
+
+    These checkpoints pickle whole nn.Module objects from the yolov5 repo;
+    a stub unpickler materializes unknown classes as attribute bags and the
+    module tree is walked for _parameters/_buffers. No ultralytics install
+    needed.
+    """
+    import pickle
+
+    import torch
+
+    class _Stub:
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+            else:
+                self.__dict__['_state'] = state
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except Exception:
+                return type(name, (_Stub,), {'__module__': module})
+
+    shim = type(pickle)('shim_pickle')
+    shim.Unpickler = _Unpickler
+    shim.load = lambda f, **kw: _Unpickler(f).load()
+
+    ckpt = torch.load(path, map_location='cpu', pickle_module=shim,
+                      weights_only=False)
+    model = ckpt.get('model', ckpt) if isinstance(ckpt, dict) else ckpt
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(obj, prefix=''):
+        d = getattr(obj, '__dict__', {})
+        for name, t in (d.get('_parameters') or {}).items():
+            if t is not None:
+                flat[prefix + name] = t.detach().float().numpy()
+        for name, t in (d.get('_buffers') or {}).items():
+            if t is not None:
+                flat[prefix + name] = t.detach().float().numpy()
+        for name, child in (d.get('_modules') or {}).items():
+            if child is not None:
+                walk(child, f'{prefix}{name}.')
+
+    walk(model)
+    if not flat:
+        raise ValueError(f'no parameters found in {path}')
+    return flat
+
+
+def state_dict_to_tree(flat: Dict[str, np.ndarray]) -> Params:
+    """Flat ultralytics names (model.0.conv.weight ...) -> our param tree."""
+    from simple_hrnet_tpu.models.convert import state_dict_to_tree as conv
+    flat = {k: v for k, v in flat.items()
+            if not k.endswith('anchor_grid') and not k.endswith('anchors')}
+    return conv(flat)
+
 
 class YOLOv5:
-    def __init__(self, model_def: str = 'yolov5m', device=None, dtype=None):
-        raise NotImplementedError(
-            'YOLOv5 support is not implemented yet in simple_hrnet_tpu; '
-            "use yolo_version='v3' with 'yolov3' or 'yolov3-tiny'.")
+    """Reference-adapter-compatible YOLOv5 person detector."""
+
+    def __init__(self, model_def: str = 'yolov5m', device=None, dtype=None,
+                 conf_thres: float = 0.5, nms_thres: float = 0.45,
+                 img_size: int = 640, max_detections: int = 32):
+        import os
+
+        variant = None
+        weights = None
+        base = os.path.basename(model_def).rsplit('.', 1)[0]
+        for v in VARIANTS:
+            if base.startswith(v):
+                variant = v
+        if variant is None:
+            variant = 'yolov5m'
+        if os.path.exists(model_def):
+            weights = model_def
+
+        self.cfg = build_config(variant)
+        self.conf_thres = conf_thres
+        self.nms_thres = nms_thres
+        self.img_size = img_size
+        self.max_detections = max_detections
+        self.dtype = dtype
+
+        if weights is not None:
+            flat = load_ultralytics_state_dict(weights)
+            self.params = state_dict_to_tree(flat)
+        else:
+            self.params = init(jax.random.PRNGKey(0), self.cfg)
+        self.params = _fold(self.params)
+        self._detect_jit = {}
+
+    def _build(self, in_hw):
+        from simple_hrnet_tpu.detectors.yolov3 import (letterbox_device,
+                                                       scale_coords_params)
+        cfg = self.cfg
+        img_size = self.img_size
+        conf_thres = self.conf_thres
+        nms_thres = self.nms_thres
+        max_det = self.max_detections
+        dtype = self.dtype
+
+        @jax.jit
+        def detect(params, frames):  # (N, H, W, 3) RGB
+            inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
+            preds = apply(params, cfg, inp, img_size, dtype=dtype)
+
+            def per_image(p):
+                obj = p[:, 4]
+                cls_conf = jnp.max(p[:, 5:], axis=1)
+                cls_pred = jnp.argmax(p[:, 5:], axis=1)
+                # v5 convention: score = obj * cls; person filter (class 0)
+                score = obj * cls_conf
+                score = jnp.where((score >= conf_thres) & (cls_pred == 0),
+                                  score, 0.0)
+                k = min(256, p.shape[0])
+                top_scores, top_idx = jax.lax.top_k(score, k)
+                bx = p[top_idx, :4]
+                boxes = jnp.stack([bx[:, 0] - bx[:, 2] / 2,
+                                   bx[:, 1] - bx[:, 3] / 2,
+                                   bx[:, 0] + bx[:, 2] / 2,
+                                   bx[:, 1] + bx[:, 3] / 2], axis=1)
+                keep_idx, keep_valid = nms_ops.nms_jax(
+                    boxes, top_scores, nms_thres, max_det)
+                rows = jnp.concatenate([
+                    boxes[keep_idx],
+                    top_scores[keep_idx][:, None],
+                    cls_conf[top_idx][keep_idx][:, None],
+                    cls_pred[top_idx][keep_idx].astype(jnp.float32)[:, None],
+                ], axis=1)
+                gain, pad_x, pad_y = scale_coords_params(img_size, in_hw)
+                rows = rows.at[:, 0].add(-pad_x).at[:, 2].add(-pad_x)
+                rows = rows.at[:, 1].add(-pad_y).at[:, 3].add(-pad_y)
+                rows = rows.at[:, :4].set(jnp.maximum(rows[:, :4] / gain, 0.0))
+                return rows, keep_valid
+
+            return jax.vmap(per_image)(preds)
+
+        return detect
+
+    def _detect(self, frames_rgb):
+        in_hw = frames_rgb.shape[1:3]
+        if in_hw not in self._detect_jit:
+            self._detect_jit[in_hw] = self._build(in_hw)
+        return self._detect_jit[in_hw](self.params, frames_rgb)
+
+    def predict_single(self, image, color_mode: str = 'BGR'):
+        return self.predict(image[None], color_mode=color_mode)[0]
+
+    def predict(self, images, color_mode: str = 'BGR'):
+        if color_mode == 'BGR':
+            images = images[..., ::-1]
+        rows, valid = self._detect(np.ascontiguousarray(images))
+        rows = np.asarray(rows)
+        valid = np.asarray(valid)
+        out: List[Optional[np.ndarray]] = []
+        for i in range(rows.shape[0]):
+            n = int(valid[i].sum())
+            out.append(rows[i, :n] if n > 0 else None)
+        return out
+
+    def detect_padded(self, frames_rgb):
+        return self._detect(frames_rgb)
+
+
+def _fold(params: Params) -> Params:
+    """Fold every conv+bn pair ('conv'/'bn' siblings) for inference."""
+    if not isinstance(params, dict):
+        return params
+    if 'conv' in params and 'bn' in params and \
+            isinstance(params['conv'], dict) and 'kernel' in params['conv']:
+        out = dict(params)
+        out['conv'] = L._fold_pair(params['conv'], params['bn'])
+        del out['bn']
+        return {k: (v if k == 'conv' else _fold(v)) for k, v in out.items()}
+    return {k: _fold(v) for k, v in params.items()}
