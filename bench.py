@@ -70,12 +70,16 @@ def measure_tpu_fps() -> float:
 
     params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=48,
                                           nof_joints=17))
+    # inference fast path: block-diagonal image-pair chains on the
+    # high-res branch (PERF.md; exposed as SimpleHRNet(use_fused_kernels=True))
+    chains = hrnet.pack_fused_chains(params, branches=(0,))
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (BATCH, *RES, 3)), jnp.float32)
 
     def chained(p, v, iters):
         def body(carry, _):
-            y = hrnet.apply(p, carry, dtype=jnp.bfloat16)
+            y = hrnet.apply(p, carry, dtype=jnp.bfloat16,
+                            fused_chains=chains)
             # feed a cheap function of y back in to serialize iterations
             return carry + jnp.mean(y) * 1e-9, jnp.mean(y)
         _, means = jax.lax.scan(body, v, None, length=iters)

@@ -31,12 +31,16 @@ from simple_hrnet_tpu.ops import decode as D
 from simple_hrnet_tpu.ops import image as I
 
 
-def _buckets(n: int, max_batch: int) -> int:
-    """Next power-of-two bucket (caps compile count at log2(max_batch))."""
-    b = 1
-    while b < n and b < max_batch:
+def _buckets(n: int, max_batch: int, multiple: int = 1) -> int:
+    """Next power-of-two bucket (caps compile count at log2(max_batch)).
+
+    ``multiple`` forces divisibility (mesh size for sharded inference).
+    """
+    b = max(1, multiple)
+    cap = max(max_batch, multiple)
+    while b < n and b < cap:
         b *= 2
-    return min(b, max_batch) if n <= max_batch else max_batch
+    return min(b, cap)
 
 
 class SimpleHRNet:
@@ -69,7 +73,9 @@ class SimpleHRNet:
                  yolo_weights_path: Optional[str] = None,
                  device=None,
                  enable_tensorrt: bool = False,
-                 dtype: Union[str, None] = None):
+                 dtype: Union[str, None] = None,
+                 use_fused_kernels: bool = False,
+                 mesh=None):
         self.c = c
         self.nof_joints = nof_joints
         self.checkpoint_path = checkpoint_path
@@ -82,6 +88,10 @@ class SimpleHRNet:
         self.max_batch_size = max_batch_size
         self.device = self._resolve_device(device)
         self.dtype = jnp.bfloat16 if dtype in ('bfloat16', 'bf16') else None
+        # Multi-chip data-parallel inference (the reference's DataParallel
+        # analogue, SimpleHRNet.py:123-135): crop batches are sharded over
+        # the mesh's 'data' axis, params replicated; XLA handles the rest.
+        self.mesh = mesh
 
         if enable_tensorrt or checkpoint_path.endswith('.jaxpose'):
             # AOT engine path (the TensorRT analogue, utils/export.py):
@@ -114,7 +124,14 @@ class SimpleHRNet:
             params = L.fold_batch_norm(ckpt.load(checkpoint_path))
 
             if model_name in ('HRNet', 'hrnet'):
-                self._apply = hrnet.apply
+                if use_fused_kernels:
+                    # Pallas fused high-res branch chains (PERF.md); packed
+                    # once here, threaded through every jitted pipeline.
+                    fused = hrnet.pack_fused_chains(
+                        params, dtype=self.dtype or jnp.float32)
+                    self._apply = partial(hrnet.apply, fused_chains=fused)
+                else:
+                    self._apply = hrnet.apply
             elif model_name in ('PoseResNet', 'poseresnet', 'ResNet',
                                 'resnet'):
                 self._apply = partial(poseresnet.apply, resnet_size=c)
@@ -122,7 +139,10 @@ class SimpleHRNet:
                 raise ValueError('Wrong model name.')
 
         self.params = params
-        if self.device is not None:
+        if self.mesh is not None:
+            from simple_hrnet_tpu.parallel import replicate
+            self.params = replicate(self.params, self.mesh)
+        elif self.device is not None:
             self.params = jax.device_put(self.params, self.device)
 
         self.detector = None
@@ -191,6 +211,12 @@ class SimpleHRNet:
             pts = D.argmax_decode(hm, boxes)
             return hm, pts
 
+        if self.mesh is not None:
+            from simple_hrnet_tpu.parallel import (data_sharding,
+                                                   replicated_sharding)
+            run = jax.jit(run.__wrapped__,
+                          in_shardings=(replicated_sharding(self.mesh),
+                                        data_sharding(self.mesh)))
         self._single_jit[key] = run
         return run
 
@@ -222,6 +248,15 @@ class SimpleHRNet:
             pts = D.argmax_decode(hm, padded)
             return hm, padded, pts
 
+        if self.mesh is not None:
+            # shard the crop batch over 'data'; frames replicated (every
+            # device gathers its own crops from the full frame)
+            from simple_hrnet_tpu.parallel import (data_sharding,
+                                                   replicated_sharding)
+            repl = replicated_sharding(self.mesh)
+            data = data_sharding(self.mesh)
+            run = jax.jit(run.__wrapped__,
+                          in_shardings=(repl, repl, data, data))
         self._crop_jit[bucket] = run
         return run
 
@@ -273,7 +308,8 @@ class SimpleHRNet:
                                   np.empty((0, 0, 3), np.float32))
 
         boxes = np.asarray(rows[0])[:n_people, :4]
-        bucket = _buckets(n_people, self.max_batch_size)
+        bucket = _buckets(n_people, self.max_batch_size,
+                          self.mesh.size if self.mesh else 1)
         hm_list, box_list, pts_list = [], [], []
         for start in range(0, n_people, bucket):
             chunk = boxes[start:start + bucket]
@@ -323,7 +359,8 @@ class SimpleHRNet:
         boxes_all = np.zeros((total, 4), np.float32)
         pts_all = np.zeros((total, self.nof_joints, 3), np.float32)
         if total:
-            bucket = _buckets(total, self.max_batch_size)
+            bucket = _buckets(total, self.max_batch_size,
+                              self.mesh.size if self.mesh else 1)
             for start in range(0, total, bucket):
                 chunk_b = all_boxes[start:start + bucket]
                 chunk_f = frame_idx[start:start + bucket]

@@ -59,14 +59,29 @@ def _fuse_up(p: Params, x: jnp.ndarray, factor: int, **kw) -> jnp.ndarray:
 
 
 def apply_stage_module(p: Params, xs: List[jnp.ndarray], n_branches: int,
-                       n_out: int, **kw) -> List[jnp.ndarray]:
+                       n_out: int, fused_chains: Optional[dict] = None,
+                       **kw) -> List[jnp.ndarray]:
     """One StageModule: per-branch 4x BasicBlock then O(branches^2) fusion.
 
-    Reference hrnet.py:55-71.
+    Reference hrnet.py:55-71. ``fused_chains`` optionally maps
+    '<path>.branches.<b>' -> (packed_weights, biases) to route a branch's
+    block chain through the Pallas fused kernel (inference fast path,
+    see ops/pallas/fused_block.py and PERF.md).
     """
     path = kw.pop('path', '')
     xs = list(xs)
     for b in range(n_branches):
+        chain_key = f'{path}.branches.{b}'
+        if fused_chains is not None and chain_key in fused_chains:
+            from simple_hrnet_tpu.ops.pallas.fused_block import (
+                blockdiag_chain, fused_basic_chain)
+            mode, wts, bias = fused_chains[chain_key]
+            if mode == 'pallas':
+                xs[b] = fused_basic_chain(xs[b], wts, bias)
+            else:
+                xs[b] = blockdiag_chain(xs[b], wts, bias,
+                                        dtype=kw.get('dtype') or xs[b].dtype)
+            continue
         bp = p['branches'][str(b)]
         for blk in range(4):
             xs[b] = L.basic_block(bp[str(blk)], xs[b],
@@ -103,13 +118,16 @@ def _transition_new_branch(p: Params, x: jnp.ndarray, **kw) -> jnp.ndarray:
 
 def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
           stats: Optional[dict] = None, axis_name: Optional[str] = None,
-          dtype=None) -> jnp.ndarray:
+          dtype=None, fused_chains: Optional[dict] = None) -> jnp.ndarray:
     """HRNet forward: NHWC in, (N, H/4, W/4, nof_joints) heatmaps out.
 
     Mirrors reference hrnet.py:157-189. ``dtype=jnp.bfloat16`` runs the conv
     stack in bf16 with f32 accumulation (MXU native); the head output is f32.
+    ``fused_chains`` (from ``pack_fused_chains``) routes high-res branch
+    block chains through the Pallas fused kernel (inference only).
     """
     kw = dict(train=train, stats=stats, axis_name=axis_name, dtype=dtype)
+    stage_kw = dict(kw, fused_chains=fused_chains)
 
     # Stem: two stride-2 3x3 convs (hrnet.py:79-83) -> H/4.
     x = L.conv_bn(x, params, 'conv1', 'bn1', stride=2, padding=1, act=True, **kw)
@@ -131,7 +149,7 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
     n_mod, n_br = STAGE_CFG['stage2']
     for m in range(n_mod):
         xs = apply_stage_module(params['stage2'][str(m)], xs, n_br, n_br,
-                                path=f'stage2.{m}', **kw)
+                                path=f'stage2.{m}', **stage_kw)
 
     # transition2: new branch derives from the lowest branch (hrnet.py:170-174).
     xs = xs + [_transition_new_branch(params['transition2']['2'], xs[-1],
@@ -140,7 +158,7 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
     n_mod, n_br = STAGE_CFG['stage3']
     for m in range(n_mod):
         xs = apply_stage_module(params['stage3'][str(m)], xs, n_br, n_br,
-                                path=f'stage3.{m}', **kw)
+                                path=f'stage3.{m}', **stage_kw)
 
     xs = xs + [_transition_new_branch(params['transition3']['3'], xs[-1],
                                       path='transition3.3', **kw)]
@@ -149,7 +167,7 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
     for m in range(n_mod):
         n_out = 1 if m == n_mod - 1 else n_br
         xs = apply_stage_module(params['stage4'][str(m)], xs, n_br, n_out,
-                                path=f'stage4.{m}', **kw)
+                                path=f'stage4.{m}', **stage_kw)
 
     # Head: 1x1 conv with bias (hrnet.py:155), computed in f32.
     out = L.conv2d(xs[0].astype(jnp.float32), params['final_layer'],
@@ -221,3 +239,28 @@ def init(key, c: int = 48, nof_joints: int = 17) -> Params:
                    for m in range(3)}
     p['final_layer'] = L.init_conv(next(keys), 1, c, nof_joints, bias=True)
     return p
+
+
+def pack_fused_chains(folded_params: Params, dtype=jnp.bfloat16,
+                      branches=(0,), mode: str = 'blockdiag') -> dict:
+    """Pre-pack fast-path chain weights for every stage module.
+
+    Call on FOLDED params (inference). ``branches`` selects which branch
+    indices use the fast chain (default: branch 0, the small-channel
+    high-res bottleneck — see PERF.md). ``mode``: 'blockdiag' (pure-XLA
+    image-pair packing, the current fastest) or 'pallas' (VMEM-resident
+    fused kernel).
+    """
+    from simple_hrnet_tpu.ops.pallas.fused_block import pack_chain_weights
+
+    chains = {}
+    for stage, (n_mod, n_br) in STAGE_CFG.items():
+        for m in range(n_mod):
+            sp = folded_params[stage][str(m)]
+            for b in branches:
+                if b >= n_br:
+                    continue
+                blocks = [sp['branches'][str(b)][str(i)] for i in range(4)]
+                wts, bias = pack_chain_weights(blocks, dtype)
+                chains[f'{stage}.{m}.branches.{b}'] = (mode, wts, bias)
+    return chains

@@ -1,0 +1,167 @@
+"""Pallas fused BasicBlock-chain kernel for HRNet's high-resolution branch.
+
+Motivation (measured on v5e, see PERF.md): HRNet's branch-0 convs
+(C=48 @ 96x72 for W48) run at ~34 TF/s under XLA — the 48-channel
+contraction/output dims waste the 128-wide MXU and the 128-lane layout
+inflates HBM traffic 2.7x. This kernel runs a branch's whole chain of 4
+BasicBlocks (8 convs + residuals + ReLUs) for a PAIR of images entirely in
+VMEM:
+
+  * two images are packed into the channel dim (C -> 2C) with
+    block-diagonal weights — 2x redundant FLOPs for ~4x better MXU shapes
+    (55 vs 34 TF/s measured at the XLA level; here the chain also loses all
+    intermediate HBM round-trips);
+  * each 3x3 conv = 9 static-tap dot_generals over a zero-padded VMEM
+    scratch, f32 accumulation, folded-BN bias + ReLU fused in registers.
+
+Weights must be pre-packed with ``pack_chain_weights`` (host-side, once at
+load): (8, 3, 3, 2C, 2C) block-diagonal bf16 + (8, 2C) biases.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def blockdiag_chain(x: jnp.ndarray, weights: jnp.ndarray,
+                    biases: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Pure-XLA variant of the fused chain: image pairs packed into channels
+    with block-diagonal kernels, standard lax convs in between.
+
+    Measured faster than both the naive chain (1.56x on the conv) and the
+    current Pallas kernel (whose tap slices relayout; see PERF.md): the
+    2x-redundant block-diagonal FLOPs buy ~4x better MXU shapes at C=48.
+    """
+    b, h, w_dim, c = x.shape
+    orig_b = b
+    if b % 2:
+        x = jnp.concatenate([x, x[-1:]], axis=0)
+        b += 1
+    xg = x.reshape(b // 2, 2, h, w_dim, c).transpose(0, 2, 3, 1, 4) \
+        .reshape(b // 2, h, w_dim, 2 * c).astype(dtype)
+
+    def conv(v, i):
+        y = jax.lax.conv_general_dilated(
+            v, weights[i].astype(dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32) + biases[i]
+        return y
+
+    v = xg
+    for blk in range(4):
+        res = v
+        mid = jnp.maximum(conv(v, 2 * blk), 0.0).astype(dtype)
+        v = jnp.maximum(conv(mid, 2 * blk + 1) + res.astype(jnp.float32),
+                        0.0).astype(dtype)
+
+    out = v.reshape(b // 2, h, w_dim, 2, c).transpose(0, 3, 1, 2, 4) \
+        .reshape(b, h, w_dim, c)
+    return out[:orig_b]
+
+
+def pack_chain_weights(block_params: list, dtype=jnp.bfloat16
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack 4 folded BasicBlocks into block-diag stacked kernels.
+
+    block_params: list of 4 dicts with folded conv1/conv2
+    ({'kernel': (3,3,C,C), 'bias': (C,)}). Returns
+    (weights (8, 3, 3, 2C, 2C) dtype, biases (8, 2C) f32).
+    """
+    convs = []
+    for bp in block_params:
+        convs.append(bp['conv1'])
+        convs.append(bp['conv2'])
+    c = convs[0]['kernel'].shape[2]
+    w = np.zeros((8, 3, 3, 2 * c, 2 * c), np.float32)
+    b = np.zeros((8, 2 * c), np.float32)
+    for i, conv in enumerate(convs):
+        k = np.asarray(conv['kernel'], np.float32)
+        w[i, :, :, :c, :c] = k
+        w[i, :, :, c:, c:] = k
+        bias = np.asarray(conv.get('bias', np.zeros(c)), np.float32)
+        b[i, :c] = bias
+        b[i, c:] = bias
+    return jnp.asarray(w, dtype), jnp.asarray(b, jnp.float32)
+
+
+def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, acc_ref, res_ref):
+    """One grid step = one packed image-pair; refs are (1, H, W, 2C)."""
+    _, h, w_dim, c2 = out_ref.shape
+
+    def conv3x3(src, conv_idx, residual=None):
+        # zero-pad into scratch
+        xp_ref[:] = jnp.zeros_like(xp_ref)
+        xp_ref[1:h + 1, 1:w_dim + 1, :] = src
+        acc = jnp.broadcast_to(b_ref[conv_idx, :], (h, w_dim, c2)).astype(
+            jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                tap = xp_ref[ky:ky + h, kx:kx + w_dim, :]
+                acc = acc + jax.lax.dot_general(
+                    tap, w_ref[conv_idx, ky, kx],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        if residual is not None:
+            acc = acc + residual.astype(jnp.float32)
+        return jnp.maximum(acc, 0.0)
+
+    # 4 BasicBlocks: conv1 -> relu -> conv2 (+residual) -> relu
+    res_ref[:] = x_ref[0]
+    for blk in range(4):
+        mid = conv3x3(res_ref[:], 2 * blk).astype(acc_ref.dtype)
+        acc_ref[:] = mid
+        y = conv3x3(acc_ref[:], 2 * blk + 1, residual=res_ref[:])
+        res_ref[:] = y.astype(res_ref.dtype)
+    out_ref[0] = res_ref[:]
+
+
+@partial(jax.jit, static_argnames=())
+def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
+                      biases: jnp.ndarray) -> jnp.ndarray:
+    """Run the fused 4-BasicBlock chain.
+
+    x: (B, H, W, C) with B even; weights/biases from pack_chain_weights.
+    Returns (B, H, W, C), numerically matching the unfused chain to bf16
+    tolerance.
+    """
+    b, h, w_dim, c = x.shape
+    orig_b = b
+    if b % 2:  # pad to an even batch (images are processed in pairs)
+        x = jnp.concatenate([x, x[-1:]], axis=0)
+        b += 1
+    c2 = 2 * c
+    # pack image pairs into channels
+    xg = x.reshape(b // 2, 2, h, w_dim, c).transpose(0, 2, 3, 1, 4) \
+        .reshape(b // 2, h, w_dim, c2)
+
+    dtype = x.dtype
+    out = pl.pallas_call(
+        _chain_kernel,
+        grid=(b // 2,),
+        in_specs=[
+            pl.BlockSpec((1, h, w_dim, c2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w_dim, c2), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b // 2, h, w_dim, c2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w_dim + 2, c2), dtype),
+            pltpu.VMEM((h, w_dim, c2), dtype),
+            pltpu.VMEM((h, w_dim, c2), dtype),
+        ],
+    )(xg, weights.astype(dtype), biases)
+
+    out = out.reshape(b // 2, h, w_dim, 2, c).transpose(0, 3, 1, 2, 4) \
+        .reshape(b, h, w_dim, c)
+    return out[:orig_b]

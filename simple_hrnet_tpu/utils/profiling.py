@@ -1,0 +1,93 @@
+"""Tracing / profiling utilities.
+
+The reference's only observability is wall-clock fps prints
+(live-demo.py:143-144). Here:
+
+  * ``trace(logdir)``       — context manager around ``jax.profiler`` for
+                              full XLA/TPU traces viewable in TensorBoard
+                              or Perfetto;
+  * ``StageTimer``          — lightweight named-stage wall timers with
+                              EMA smoothing for per-frame pipeline stages
+                              (detector / crops / pose / decode);
+  * ``device_timer``        — relay-safe on-chip timing of a jitted fn via
+                              lax.scan chaining (the only reliable method
+                              through high-latency device tunnels; see
+                              PERF.md).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+
+@contextlib.contextmanager
+def trace(logdir: str = '/tmp/jax-trace'):
+    """Capture a jax.profiler trace for the enclosed block."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Named per-stage timers with exponential smoothing."""
+
+    def __init__(self, alpha: float = 0.9):
+        self.alpha = alpha
+        self.means: Dict[str, float] = {}
+        self._start: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            prev = self.means.get(name)
+            self.means[name] = dt if prev is None else \
+                self.alpha * prev + (1 - self.alpha) * dt
+
+    def summary(self) -> str:
+        return ' | '.join(f'{k}: {v * 1000:.1f}ms'
+                          for k, v in self.means.items())
+
+
+def device_timer(fn: Callable, *args, iters_lo: int = 2, iters_hi: int = 12,
+                 repeats: int = 3) -> float:
+    """Seconds per call of ``fn(*args)`` measured ON-CHIP.
+
+    Chains serialized invocations inside one jit via lax.scan and
+    differences two chain lengths, cancelling tunnel RTT and dispatch
+    overhead. ``fn`` must map its first arg to an array of any shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x0, rest = args[0], args[1:]
+
+    def chained(v, iters):
+        def body(carry, _):
+            y = fn(carry, *rest)
+            leaf = jax.tree_util.tree_leaves(y)[0]
+            return (carry + jnp.mean(leaf).astype(carry.dtype) * 1e-9,
+                    jnp.mean(leaf))
+        _, means = jax.lax.scan(body, v, None, length=iters)
+        return means.sum()
+
+    times = {}
+    for iters in (iters_lo, iters_hi):
+        f = jax.jit(lambda v, n=iters: chained(v, n))
+        float(f(x0))  # compile + warm
+        best = float('inf')
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(f(x0))
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    return (times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo)

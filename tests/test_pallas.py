@@ -31,3 +31,76 @@ def test_nms_pallas_matches_nms_jax(n, rng):
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
     np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
                                   np.asarray(ref_idx)[np.asarray(ref_valid)])
+
+
+def test_fused_basic_chain_matches_unfused(rng):
+    """Pallas fused 4-BasicBlock chain == sequential blocks (interpreter)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.ops.pallas.fused_block import (fused_basic_chain,
+                                                         pack_chain_weights)
+
+    C, H, W, B = 16, 16, 12, 4
+    key = jax.random.PRNGKey(0)
+    blocks = []
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        blocks.append(L.fold_batch_norm(L.init_basic_block(k, C, C)))
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    y_ref = x
+    for bp in blocks:
+        y_ref = L.basic_block(bp, y_ref)
+
+    wts, bias = pack_chain_weights(blocks, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = fused_basic_chain(x, wts, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_blockdiag_chain_matches_unfused(rng):
+    """XLA block-diagonal image-pair chain == sequential blocks (f32, CPU),
+    including the odd-batch padding path."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.ops.pallas.fused_block import (blockdiag_chain,
+                                                         pack_chain_weights)
+
+    C, H, W = 16, 16, 12
+    key = jax.random.PRNGKey(0)
+    blocks = []
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        blocks.append(L.fold_batch_norm(L.init_basic_block(k, C, C)))
+    wts, bias = pack_chain_weights(blocks, dtype=jnp.float32)
+
+    for B in (4, 3):  # even and odd batches
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        y_ref = x
+        for bp in blocks:
+            y_ref = L.basic_block(bp, y_ref)
+        y = blockdiag_chain(x, wts, bias, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_hrnet_apply_with_fused_chains(rng):
+    """hrnet.apply(fused_chains=...) == plain apply (f32, CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.models import layers as L
+
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=4,
+                                          nof_joints=5))
+    chains = hrnet.pack_fused_chains(params, dtype=jnp.float32,
+                                     branches=(0,))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    y0 = hrnet.apply(params, x)
+    y1 = hrnet.apply(params, x, fused_chains=chains)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-4, rtol=1e-4)

@@ -101,3 +101,43 @@ def test_eval_step_flip_test(rng):
     loss, out = ev(params, batch)
     assert np.isfinite(float(loss))
     assert out.shape == (2, 16, 16, 5)
+
+
+def test_facade_mesh_inference(rng, tmp_path):
+    """SimpleHRNet(mesh=...) shards crop batches over 8 devices and matches
+    the single-device facade."""
+    import jax
+    from simple_hrnet_tpu import SimpleHRNet
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.parallel import make_mesh
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=4, nof_joints=17)
+    path = str(tmp_path / 'w4.npz')
+    ckpt.save(path, params)
+
+    class Stub:
+        def detect_padded(self, frames):
+            import jax.numpy as jnp
+            rows = np.zeros((1, 8, 7), np.float32)
+            rows[0, :3, :4] = [[5, 5, 40, 70], [20, 10, 60, 90],
+                               [30, 5, 70, 80]]
+            valid = np.zeros((1, 8), bool)
+            valid[0, :3] = True
+            return jnp.asarray(rows), jnp.asarray(valid)
+
+    frame = rng.uniform(0, 255, (100, 120, 3)).astype(np.uint8)
+
+    single = SimpleHRNet(4, 17, path, multiperson=False, resolution=(64, 64))
+    single.multiperson = True
+    single.detector = Stub()
+    pts1 = single.predict(frame)
+
+    meshed = SimpleHRNet(4, 17, path, multiperson=False, resolution=(64, 64),
+                         mesh=make_mesh(8))
+    meshed.multiperson = True
+    meshed.detector = Stub()
+    pts8 = meshed.predict(frame)
+
+    assert pts8.shape == pts1.shape == (3, 17, 3)
+    np.testing.assert_allclose(pts8, pts1, atol=1e-3, rtol=1e-3)
