@@ -261,6 +261,12 @@ def pack_fused_chains(folded_params: Params, dtype=jnp.bfloat16,
                 if b >= n_br:
                     continue
                 blocks = [sp['branches'][str(b)][str(i)] for i in range(4)]
-                wts, bias = pack_chain_weights(blocks, dtype)
+                c = blocks[0]['conv1']['kernel'].shape[2]
+                # pick the group that brings channels near the 128-lane
+                # width (W48 branch0: G=2 -> 96ch; W32 branch0: G=4 -> 128ch)
+                group = max(1, min(4, 128 // c)) if c < 96 else 1
+                if group == 1:
+                    continue
+                wts, bias = pack_chain_weights(blocks, dtype, group=group)
                 chains[f'{stage}.{m}.branches.{b}'] = (mode, wts, bias)
     return chains

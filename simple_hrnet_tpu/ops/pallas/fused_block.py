@@ -33,20 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 def blockdiag_chain(x: jnp.ndarray, weights: jnp.ndarray,
                     biases: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Pure-XLA variant of the fused chain: image pairs packed into channels
-    with block-diagonal kernels, standard lax convs in between.
+    """Pure-XLA variant of the fused chain: groups of G images packed into
+    channels with block-diagonal kernels, standard lax convs in between.
 
-    Measured faster than both the naive chain (1.56x on the conv) and the
-    current Pallas kernel (whose tap slices relayout; see PERF.md): the
-    2x-redundant block-diagonal FLOPs buy ~4x better MXU shapes at C=48.
+    Measured faster than both the naive chain (1.56x on the conv at C=48)
+    and the current Pallas kernel (see PERF.md): the Gx-redundant
+    block-diagonal FLOPs buy much better MXU shapes at small C. G is
+    encoded in the packed weights (G = weights_C / model_C).
     """
     b, h, w_dim, c = x.shape
+    group = weights.shape[-1] // c
     orig_b = b
-    if b % 2:
-        x = jnp.concatenate([x, x[-1:]], axis=0)
-        b += 1
-    xg = x.reshape(b // 2, 2, h, w_dim, c).transpose(0, 2, 3, 1, 4) \
-        .reshape(b // 2, h, w_dim, 2 * c).astype(dtype)
+    pad = (-b) % group
+    if pad:
+        x = jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
+        b += pad
+    xg = x.reshape(b // group, group, h, w_dim, c).transpose(0, 2, 3, 1, 4) \
+        .reshape(b // group, h, w_dim, group * c).astype(dtype)
 
     def conv(v, i):
         y = jax.lax.conv_general_dilated(
@@ -62,38 +65,44 @@ def blockdiag_chain(x: jnp.ndarray, weights: jnp.ndarray,
         v = jnp.maximum(conv(mid, 2 * blk + 1) + res.astype(jnp.float32),
                         0.0).astype(dtype)
 
-    out = v.reshape(b // 2, h, w_dim, 2, c).transpose(0, 3, 1, 2, 4) \
-        .reshape(b, h, w_dim, c)
+    out = v.reshape(b // group, h, w_dim, group, c) \
+        .transpose(0, 3, 1, 2, 4).reshape(b, h, w_dim, c)
     return out[:orig_b]
 
 
-def pack_chain_weights(block_params: list, dtype=jnp.bfloat16
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def pack_chain_weights(block_params: list, dtype=jnp.bfloat16,
+                       group: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack 4 folded BasicBlocks into block-diag stacked kernels.
 
     block_params: list of 4 dicts with folded conv1/conv2
-    ({'kernel': (3,3,C,C), 'bias': (C,)}). Returns
-    (weights (8, 3, 3, 2C, 2C) dtype, biases (8, 2C) f32).
+    ({'kernel': (3,3,C,C), 'bias': (C,)}). ``group`` images share one
+    grouped tensor. Returns (weights (8, 3, 3, GC, GC) dtype,
+    biases (8, GC) f32).
     """
     convs = []
     for bp in block_params:
         convs.append(bp['conv1'])
         convs.append(bp['conv2'])
     c = convs[0]['kernel'].shape[2]
-    w = np.zeros((8, 3, 3, 2 * c, 2 * c), np.float32)
-    b = np.zeros((8, 2 * c), np.float32)
+    w = np.zeros((8, 3, 3, group * c, group * c), np.float32)
+    b = np.zeros((8, group * c), np.float32)
     for i, conv in enumerate(convs):
         k = np.asarray(conv['kernel'], np.float32)
-        w[i, :, :, :c, :c] = k
-        w[i, :, :, c:, c:] = k
         bias = np.asarray(conv.get('bias', np.zeros(c)), np.float32)
-        b[i, :c] = bias
-        b[i, c:] = bias
+        for g in range(group):
+            w[i, :, :, g * c:(g + 1) * c, g * c:(g + 1) * c] = k
+            b[i, g * c:(g + 1) * c] = bias
     return jnp.asarray(w, dtype), jnp.asarray(b, jnp.float32)
 
 
 def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, acc_ref, res_ref):
-    """One grid step = one packed image-pair; refs are (1, H, W, 2C)."""
+    """One grid step = one packed image-pair; refs are (1, H, W, 2C).
+
+    NOTE: pre-shifting the W axis into 3 buffers (to cut the 9 sublane
+    relayouts to 3) blows the 16MB scoped-VMEM budget at 96x72x96; the
+    per-tap slice version below fits and works. See PERF.md for the
+    measured standings and next steps.
+    """
     _, h, w_dim, c2 = out_ref.shape
 
     def conv3x3(src, conv_idx, residual=None):
@@ -133,6 +142,9 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
     tolerance.
     """
     b, h, w_dim, c = x.shape
+    if weights.shape[-1] != 2 * c:
+        raise ValueError('the Pallas fused chain requires group=2 packing; '
+                         'use blockdiag_chain for other group sizes')
     orig_b = b
     if b % 2:  # pad to an even batch (images are processed in pairs)
         x = jnp.concatenate([x, x[-1:]], axis=0)
