@@ -163,6 +163,7 @@ class SimpleHRNet:
 
         self._single_jit: Dict[tuple, Any] = {}
         self._crop_jit: Dict[int, Any] = {}
+        self._fused_jit: Dict[tuple, Any] = {}
 
     @staticmethod
     def _resolve_device(device):
@@ -259,6 +260,86 @@ class SimpleHRNet:
                           in_shardings=(repl, repl, data, data))
         self._crop_jit[bucket] = run
         return run
+
+    def _get_fused_frame(self, in_hw: Tuple[int, int], max_people: int):
+        """The north-star path: detect -> crop -> pose -> decode for one
+        frame as a SINGLE jitted computation — no host synchronization
+        anywhere between stages, so consecutive frames pipeline freely on
+        the device queue (the reference crosses host<->device >= 2x per
+        frame, SURVEY.md §3.1). People count is static (max_people slots,
+        masked by validity)."""
+        key = (in_hw, max_people)
+        if key in self._fused_jit:
+            return self._fused_jit[key]
+
+        det_fn = self.detector.pure_fn(in_hw)
+        res_h, res_w = self.resolution
+        aspect = res_h / res_w
+        apply_fn = self._apply
+        dtype = self.dtype
+
+        @jax.jit
+        def run(pose_params, det_params, frame_bgr):  # (H, W, 3) uint8 BGR
+            rgb_frame = frame_bgr[..., ::-1]
+            rows, valid = det_fn(det_params, rgb_frame[None].astype(
+                jnp.float32))
+            rows = rows[0][:max_people]
+            valid = valid[0][:max_people]
+            boxes = jnp.round(rows[:, :4])
+            padded = I.pad_to_aspect(boxes, aspect)
+
+            def crop_one(box, orig_box):
+                return I.crop_resize(rgb_frame, box, (res_h, res_w),
+                                     valid_box=orig_box)
+
+            crops = jax.vmap(crop_one)(padded, boxes)
+            crops = jnp.round(crops)
+            x = I.normalize(jnp.clip(crops, 0.0, 255.0))
+            hm = apply_fn(pose_params, x, dtype=dtype)
+            pts = D.argmax_decode(hm, padded)
+            return valid, padded, hm, pts
+
+        self._fused_jit[key] = run
+        return run
+
+    def predict_stream(self, frames, max_people: int = 16,
+                       prefetch: int = 2):
+        """Pipelined video inference: yields (boxes, pts) per frame
+        (plus heatmaps first if return_heatmaps).
+
+        Frames are dispatched to the device ``prefetch`` ahead of result
+        consumption; because the whole per-frame pipeline is one jitted
+        computation (no host sync), decode of frame i overlaps compute of
+        frames i+1..i+prefetch. Requires multiperson=True.
+        """
+        import collections
+
+        if self.detector is None:
+            raise ValueError('predict_stream requires multiperson=True')
+
+        pending = collections.deque()
+
+        def finish(entry):
+            valid, boxes, hm, pts = entry
+            n = int(np.asarray(valid).sum())
+            out_boxes = np.asarray(boxes)[:n].astype(np.int32)
+            out_pts = np.asarray(pts)[:n].astype(np.float32)
+            res = []
+            if self.return_heatmaps:
+                res.append(np.transpose(np.asarray(hm)[:n], (0, 3, 1, 2)))
+            if self.return_bounding_boxes:
+                res.append(out_boxes)
+            res.append(out_pts)
+            return res if len(res) > 1 else res[0]
+
+        for frame in frames:
+            run = self._get_fused_frame(frame.shape[:2], max_people)
+            pending.append(run(self.params, self.detector.params,
+                               np.ascontiguousarray(frame)))
+            if len(pending) > prefetch:
+                yield finish(pending.popleft())
+        while pending:
+            yield finish(pending.popleft())
 
     # ------------------------------------------------------------------
     # public API (reference SimpleHRNet.py:174-210 contract)

@@ -20,7 +20,7 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
          yolo_version='v3', use_tiny_yolo=False, max_batch_size=16,
          csv_output_filename='output.csv', csv_delimiter=',',
          json_output_filename='output.json', device=None,
-         enable_tensorrt=False, max_frames=None):
+         enable_tensorrt=False, max_frames=None, pipeline=False):
     import cv2
 
     from simple_hrnet_tpu import SimpleHRNet
@@ -50,19 +50,26 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
         csv_writer = csv.writer(csv_file, delimiter=csv_delimiter)
     json_data = {}
 
+    def frames():
+        i = 0
+        while max_frames is None or i < max_frames:
+            ret, frame = video_source.read()
+            if not ret:
+                return
+            if rotation_code is not None:
+                frame = cv2.rotate(frame, rotation_code)
+            yield frame
+            i += 1
+
+    if pipeline and not single_person:
+        # fused single-jit per-frame path, prefetch-pipelined on device
+        results = model.predict_stream(frames(), max_people=max_batch_size)
+    else:
+        results = (model.predict(f) for f in frames())
+
     index = 0
-    while True:
-        if max_frames is not None and index >= max_frames:
-            break
-        t = time.time()
-        ret, frame = video_source.read()
-        if not ret:
-            break
-        if rotation_code is not None:
-            frame = cv2.rotate(frame, rotation_code)
-
-        pts = model.predict(frame)
-
+    t = time.time()
+    for pts in results:
         if format == 'csv':
             for j, pt in enumerate(pts):
                 row = [index, j] + pt.flatten().tolist()
@@ -73,6 +80,7 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
 
         fps = 1.0 / max(time.time() - t, 1e-6)
         print(f'\rframerate: {fps:f} fps', end='')
+        t = time.time()
         index += 1
 
     if format == 'csv':
@@ -107,6 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--device', type=str, default=None)
     parser.add_argument('--enable_tensorrt', action='store_true')
     parser.add_argument('--max_frames', type=int, default=None)
+    parser.add_argument('--pipeline', action='store_true',
+                        help='fused single-jit per-frame pipeline with '
+                             'device-side prefetch (multi-person only)')
     return parser
 
 

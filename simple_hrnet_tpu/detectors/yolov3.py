@@ -138,7 +138,13 @@ class YOLOv3:
 
     # -- jitted pipeline ----------------------------------------------------
 
-    def _build(self, in_hw: Tuple[int, int]):
+    def pure_fn(self, in_hw: Tuple[int, int]):
+        """The un-jitted detect pipeline (params, frames_rgb) -> (rows,
+        valid) for composing into larger fused computations (the facade's
+        single-jit video path)."""
+        return self._build(in_hw, jit=False)
+
+    def _build(self, in_hw: Tuple[int, int], jit: bool = True):
         img_size = self.img_size
         blocks = self.blocks
         conf_thres = self.conf_thres
@@ -147,7 +153,6 @@ class YOLOv3:
         class_ids = jnp.asarray(self.class_ids)
         dtype = self.dtype
 
-        @jax.jit
         def detect(params, frames):  # frames (N, H, W, 3) RGB
             n = frames.shape[0]
             inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
@@ -189,7 +194,7 @@ class YOLOv3:
 
             return jax.vmap(per_image)(preds)
 
-        return detect
+        return jax.jit(detect) if jit else detect
 
     def _detect(self, frames_rgb: np.ndarray):
         in_hw = frames_rgb.shape[1:3]

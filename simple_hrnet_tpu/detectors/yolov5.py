@@ -320,7 +320,11 @@ class YOLOv5:
         self.params = _fold(self.params)
         self._detect_jit = {}
 
-    def _build(self, in_hw):
+    def pure_fn(self, in_hw):
+        """Un-jitted detect pipeline for fused facade computations."""
+        return self._build(in_hw, jit=False)
+
+    def _build(self, in_hw, jit: bool = True):
         from simple_hrnet_tpu.detectors.yolov3 import (letterbox_device,
                                                        scale_coords_params)
         cfg = self.cfg
@@ -330,7 +334,6 @@ class YOLOv5:
         max_det = self.max_detections
         dtype = self.dtype
 
-        @jax.jit
         def detect(params, frames):  # (N, H, W, 3) RGB
             inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
             preds = apply(params, cfg, inp, img_size, dtype=dtype)
@@ -366,7 +369,7 @@ class YOLOv5:
 
             return jax.vmap(per_image)(preds)
 
-        return detect
+        return jax.jit(detect) if jit else detect
 
     def _detect(self, frames_rgb):
         in_hw = frames_rgb.shape[1:3]

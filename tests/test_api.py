@@ -219,3 +219,48 @@ def test_empty_frame_contract(w32_checkpoint):
     model.detector = _StubDetector([np.zeros((0, 4), np.float32)])
     pts = model.predict(np.zeros((100, 100, 3), np.uint8))
     assert pts.shape == (0, 0, 3)  # reference SimpleHRNet.py:331
+
+
+def test_predict_stream(w32_checkpoint, rng):
+    """Fused single-jit stream yields per-frame results matching predict()."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True, yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+
+    class PureStub:
+        params = {}
+
+        def pure_fn(self, in_hw):
+            import jax.numpy as jnp
+
+            def fn(params, frames):
+                rows = jnp.zeros((frames.shape[0], 8, 7), jnp.float32)
+                rows = rows.at[:, 0, :4].set(
+                    jnp.asarray([10.0, 10.0, 60.0, 90.0]))
+                rows = rows.at[:, 1, :4].set(
+                    jnp.asarray([30.0, 5.0, 80.0, 85.0]))
+                rows = rows.at[:, :2, 4:6].set(0.9)
+                valid = jnp.zeros((frames.shape[0], 8), bool)
+                valid = valid.at[:, :2].set(True)
+                return rows, valid
+            return fn
+
+        def detect_padded(self, frames):
+            import jax.numpy as jnp
+            fn = self.pure_fn(frames.shape[1:3])
+            return fn({}, jnp.asarray(frames, jnp.float32))
+
+    model.detector = PureStub()
+    frames = [rng.uniform(0, 255, (100, 120, 3)).astype(np.uint8)
+              for _ in range(4)]
+
+    streamed = list(model.predict_stream(frames, max_people=8, prefetch=2))
+    assert len(streamed) == 4
+    for frame, (boxes_s, pts_s) in zip(frames, streamed):
+        boxes_p, pts_p = model.predict(frame)
+        assert pts_s.shape == pts_p.shape == (2, 17, 3)
+        np.testing.assert_allclose(pts_s, pts_p, atol=1e-3)
+        np.testing.assert_allclose(boxes_s, boxes_p, atol=1)
