@@ -57,7 +57,9 @@ class Train:
                  flip_test_images: bool = True,
                  model_name: str = 'HRNet',
                  mesh=None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 resume_dir: Optional[str] = None,
+                 debug_nans: bool = False):
         self.exp_name = exp_name
         self.ds_train = ds_train
         self.ds_val = ds_val
@@ -125,11 +127,24 @@ class Train:
             steps_per_epoch=self.len_dl_train)
         self.opt_state = self.optimizer.init(self.params)
 
-        # checkpoint resume (Train.py:195-204)
+        # sanitizer: fail fast on non-finite values anywhere in the step
+        # (the reference has no sanitizing at all, SURVEY.md §5.2)
+        if debug_nans:
+            jax.config.update('jax_debug_nans', True)
+
+        # checkpoint resume (Train.py:195-204). ``resume_dir`` additionally
+        # enables crash-safe auto-resume: if a previous run of this
+        # experiment left a checkpoint_last, continue from it (the
+        # reference requires manual --checkpoint_path plumbing).
+        if checkpoint_path is None and resume_dir is not None:
+            cand = os.path.join(resume_dir, 'checkpoint_last')
+            if os.path.isdir(cand):
+                checkpoint_path = cand
         if checkpoint_path is not None:
             print(f'Loading checkpoint {checkpoint_path} ...')
             step, self.params, self.opt_state, cfg = ckpt.load_train(
-                checkpoint_path)
+                checkpoint_path, target_params=self.params,
+                target_opt_state=self.opt_state)
             self.epoch = (cfg or {}).get('epoch', step or 0)
             print(f'Resuming from epoch {self.epoch}')
 

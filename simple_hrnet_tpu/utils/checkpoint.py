@@ -88,16 +88,30 @@ def save_train(directory: str, step: int, params: Any, opt_state: Any,
             json.dump(config, f, indent=2, default=str)
 
 
-def load_train(directory: str, step: Optional[int] = None
+def load_train(directory: str, step: Optional[int] = None,
+               target_params: Any = None, target_opt_state: Any = None
                ) -> Tuple[int, Any, Any, Optional[dict]]:
-    """Restore (step, params, opt_state, config) from an orbax checkpoint."""
+    """Restore (step, params, opt_state, config) from an orbax checkpoint.
+
+    Pass ``target_opt_state`` (a freshly built optimizer state) so optax's
+    NamedTuple containers are reconstructed — orbax alone restores plain
+    dicts, which optax transforms cannot consume.
+    """
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
     with ocp.CheckpointManager(directory) as mngr:
         if step is None:
             step = mngr.latest_step()
-        restored = mngr.restore(step)
+        kwargs = {}
+        if target_params is not None or target_opt_state is not None:
+            kwargs['args'] = ocp.args.Composite(
+                params=ocp.args.StandardRestore(
+                    jax.device_get(target_params)),
+                opt_state=ocp.args.StandardRestore(
+                    jax.device_get(target_opt_state)),
+            )
+        restored = mngr.restore(step, **kwargs)
     config = None
     cfg_path = os.path.join(directory, 'config.json')
     if os.path.exists(cfg_path):

@@ -139,3 +139,37 @@ def test_coco_train_one_epoch(mini_coco, tmp_path):
              model_c=4, model_nof_joints=17)
     loss, acc = t.run()
     assert np.isfinite(loss)
+
+
+def test_trainer_checkpoint_resume(mini_coco, tmp_path):
+    """Stop after epoch 1, resume from the orbax checkpoint, continue."""
+    import jax
+    from simple_hrnet_tpu.data.coco import COCODataset
+    from simple_hrnet_tpu.train.trainer import Train
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, image_width=64, image_height=64)
+
+    t1 = Train(exp_name='resume', ds_train=ds, ds_val=ds, epochs=1,
+               batch_size=4, num_workers=2, lr=1e-3, lr_decay=False,
+               optimizer='Adam', log_path=str(tmp_path),
+               use_tensorboard=False, model_c=4, model_nof_joints=17,
+               flip_test_images=False)
+    t1.run()
+    ckpt_dir = os.path.join(t1.log_path, 'checkpoint_last')
+    assert os.path.isdir(ckpt_dir)
+
+    t2 = Train(exp_name='resume2', ds_train=ds, ds_val=ds, epochs=2,
+               batch_size=4, num_workers=2, lr=1e-3, lr_decay=False,
+               optimizer='Adam', log_path=str(tmp_path),
+               use_tensorboard=False, model_c=4, model_nof_joints=17,
+               flip_test_images=False, checkpoint_path=ckpt_dir)
+    assert t2.epoch == 1  # resumed epoch counter
+    # resumed params identical to saved ones
+    a = jax.tree_util.tree_leaves(t1.params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    t2.run()  # finishes epoch 2 without error
+    assert np.isfinite(t2.mean_loss_val)
