@@ -315,7 +315,30 @@ class SimpleHRNet:
         import collections
 
         if self.detector is None:
-            raise ValueError('predict_stream requires multiperson=True')
+            # single-person whole-frame streaming: the _get_single pipeline
+            # is already one jit; just dispatch ahead.
+            pending = collections.deque()
+
+            def finish_sp(entry):
+                hm, pts, shape = entry
+                res = []
+                if self.return_heatmaps:
+                    res.append(np.transpose(np.asarray(hm), (0, 3, 1, 2)))
+                if self.return_bounding_boxes:
+                    res.append(np.asarray(
+                        [[0, 0, shape[1], shape[0]]], np.float32))
+                res.append(np.asarray(pts, np.float32))
+                return res if len(res) > 1 else res[0]
+
+            for frame in frames:
+                run = self._get_single(frame.shape[:2], 1)
+                hm, pts = run(self.params, frame[None])
+                pending.append((hm, pts, frame.shape))
+                if len(pending) > prefetch:
+                    yield finish_sp(pending.popleft())
+            while pending:
+                yield finish_sp(pending.popleft())
+            return
 
         pending = collections.deque()
 

@@ -264,3 +264,16 @@ def test_predict_stream(w32_checkpoint, rng):
         assert pts_s.shape == pts_p.shape == (2, 17, 3)
         np.testing.assert_allclose(pts_s, pts_p, atol=1e-3)
         np.testing.assert_allclose(boxes_s, boxes_p, atol=1)
+
+
+def test_predict_stream_single_person(w32_checkpoint, rng):
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64))
+    frames = [rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+              for _ in range(3)]
+    out = list(model.predict_stream(frames))
+    assert len(out) == 3
+    for frame, pts in zip(frames, out):
+        np.testing.assert_allclose(pts, model.predict(frame), atol=1e-4)

@@ -192,3 +192,19 @@ def test_oks_nms_parity(rng):
 
     assert N.oks_nms(db, 0.9) == [int(i) for i in ref.oks_nms(db, 0.9)]
     assert N.soft_oks_nms(db, 0.9) == [int(i) for i in ref.soft_oks_nms(db, 0.9)]
+
+
+def test_full_yolov3_forward_shape():
+    """The full (non-tiny) graph produces the canonical anchor count."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.detectors import darknet
+
+    blocks = darknet.yolov3_blocks()
+    params = darknet.init(jax.random.PRNGKey(0), blocks)
+    out = jax.jit(lambda p, v: darknet.apply(p, blocks, v, 320))(
+        params, jnp.zeros((1, 320, 320, 3)))
+    # 3 * (10^2 + 20^2 + 40^2) = 6300 at 320; at 416 it is the reference's
+    # fixed 10647 (YOLOv3.py:131)
+    assert out.shape == (1, 6300, 85)
+    assert bool(jnp.isfinite(out).all())
