@@ -1,0 +1,180 @@
+"""Grouped-trunk HRNet inference: the whole multi-branch trunk runs on
+batch-halves-grouped tensors with block-diagonal weights.
+
+Why (PERF.md): at W48, branch-0/1 convs and most fusion/transition convs
+have 48-96 output channels — far below the 128-lane MXU width — and
+grouping G images into the channel dim trades G-fold redundant FLOPs for
+full lanes. `blockdiag_chain` applies this per branch-chain (regrouping at
+each chain boundary); this module groups ONCE after layer1 and ungroups
+once before the head, so all transitions and fuse layers run grouped too.
+The large-channel branches (C >= 192), where grouping loses, are computed
+ungrouped inside the grouped flow — their tensors are small, so the
+regroup concats are negligible.
+
+Numerically exact vs models/hrnet.apply in f32 (zero blocks contribute
+exact zeros); bf16 shows only reduction-reorder drift. Inference only
+(folded BN).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import hrnet
+from . import layers as L
+
+Params = Dict[str, Any]
+
+# branches computed ungrouped (large channels: grouping loses there)
+UNGROUPED_BRANCHES = (2, 3)
+
+
+def _blockdiag_conv(node: Params, group: int) -> Params:
+    """{'kernel' (k,k,Ci,Co), 'bias' (Co,)} -> block-diagonal G-grouped."""
+    k = np.asarray(node['kernel'], np.float32)
+    kh, kw, ci, co = k.shape
+    w = np.zeros((kh, kw, group * ci, group * co), np.float32)
+    for g in range(group):
+        w[:, :, g * ci:(g + 1) * ci, g * co:(g + 1) * co] = k
+    out: Params = {'kernel': jnp.asarray(w)}
+    if 'bias' in node:
+        out['bias'] = jnp.asarray(np.tile(np.asarray(node['bias'],
+                                                     np.float32), group))
+    return out
+
+
+def _pack_tree(tree: Params, group: int) -> Params:
+    if not isinstance(tree, dict):
+        return tree
+    if 'kernel' in tree:
+        return _blockdiag_conv(tree, group)
+    return {k: _pack_tree(v, group) for k, v in tree.items()}
+
+
+def pack_grouped(folded_params: Params, group: int = 2) -> Params:
+    """Block-diagonal weights for the trunk (transitions + stages).
+
+    Call on FOLDED params. Branch blocks listed in UNGROUPED_BRANCHES are
+    not packed (they run on ungrouped tensors with the original weights).
+    """
+    packed: Params = {}
+    for key in ('transition1', 'transition2', 'transition3'):
+        packed[key] = _pack_tree(folded_params[key], group)
+    for stage, (n_mod, n_br) in hrnet.STAGE_CFG.items():
+        ps: Params = {}
+        for m in range(n_mod):
+            sp = folded_params[stage][str(m)]
+            branches: Params = {}
+            for b in range(n_br):
+                if b in UNGROUPED_BRANCHES:
+                    continue
+                branches[str(b)] = _pack_tree(sp['branches'][str(b)], group)
+            ps[str(m)] = {'branches': branches,
+                          'fuse_layers': _pack_tree(sp['fuse_layers'], group)}
+        packed[stage] = ps
+    return packed
+
+
+def _group(x: jnp.ndarray, group: int) -> jnp.ndarray:
+    b = x.shape[0]
+    step = b // group
+    return jnp.concatenate([x[g * step:(g + 1) * step] for g in range(group)],
+                           axis=-1)
+
+
+def _ungroup(x: jnp.ndarray, group: int, c: int) -> jnp.ndarray:
+    return jnp.concatenate([x[..., g * c:(g + 1) * c] for g in range(group)],
+                           axis=0)
+
+
+def _stage_module_grouped(packed_m: Params, orig_m: Params,
+                          xs: List[jnp.ndarray], n_branches: int, n_out: int,
+                          group: int, c_base: int, dtype) -> List[jnp.ndarray]:
+    """StageModule on grouped tensors; big-C branches computed ungrouped."""
+    kw = dict(train=False, stats=None, axis_name=None, dtype=dtype)
+    xs = list(xs)
+    for b in range(n_branches):
+        if b in UNGROUPED_BRANCHES:
+            c = c_base * (2 ** b)
+            xu = _ungroup(xs[b], group, c)
+            for blk in range(4):
+                xu = L.basic_block(orig_m['branches'][str(b)][str(blk)], xu,
+                                   **kw)
+            xs[b] = _group(xu, group)
+        else:
+            bp = packed_m['branches'][str(b)]
+            for blk in range(4):
+                xs[b] = L.basic_block(bp[str(blk)], xs[b], **kw)
+
+    fused = []
+    fl = packed_m['fuse_layers']
+    for i in range(n_out):
+        acc: Optional[jnp.ndarray] = None
+        for j in range(n_branches):
+            if i == j:
+                y = xs[j]
+            elif i < j:
+                y = hrnet._fuse_up(fl[str(i)][str(j)], xs[j], 2 ** (j - i),
+                                   **kw)
+            else:
+                y = hrnet._fuse_down(fl[str(i)][str(j)], xs[j], i - j, **kw)
+            acc = y if acc is None else acc + y
+        fused.append(L.relu(acc))
+    return fused
+
+
+def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
+                  dtype=None) -> jnp.ndarray:
+    """Forward with the grouped trunk. Batch must be divisible by the
+    packing group (pad upstream; the facade's buckets guarantee it)."""
+    # group is static (derived from shapes, safe under jit tracing)
+    c_base = params['transition1']['0']['0']['kernel'].shape[3]
+    group = packed['transition1']['0']['0']['kernel'].shape[3] // c_base
+    kw = dict(train=False, stats=None, axis_name=None, dtype=dtype)
+
+    # stem + layer1 ungrouped (channel widths already fill the MXU)
+    h = L.conv_bn(x, params, 'conv1', 'bn1', stride=2, padding=1, act=True,
+                  **kw)
+    h = L.conv_bn(h, params, 'conv2', 'bn2', stride=2, padding=1, act=True,
+                  **kw)
+    for i in range(4):
+        h = L.bottleneck(params['layer1'][str(i)], h, **kw)
+
+    hg = _group(h, group)
+    t1 = packed['transition1']
+    xs = [
+        L.conv_bn(hg, t1['0'], '0', '1', stride=1, padding=1, act=True, **kw),
+        L.conv_bn(hg, t1['1']['0'], '0', '1', stride=2, padding=1, act=True,
+                  **kw),
+    ]
+
+    n_mod, n_br = hrnet.STAGE_CFG['stage2']
+    for m in range(n_mod):
+        xs = _stage_module_grouped(packed['stage2'][str(m)],
+                                   params['stage2'][str(m)], xs, n_br, n_br,
+                                   group, c_base, dtype)
+    xs = xs + [L.conv_bn(xs[-1], packed['transition2']['2']['0'], '0', '1',
+                         stride=2, padding=1, act=True, **kw)]
+
+    n_mod, n_br = hrnet.STAGE_CFG['stage3']
+    for m in range(n_mod):
+        xs = _stage_module_grouped(packed['stage3'][str(m)],
+                                   params['stage3'][str(m)], xs, n_br, n_br,
+                                   group, c_base, dtype)
+    xs = xs + [L.conv_bn(xs[-1], packed['transition3']['3']['0'], '0', '1',
+                         stride=2, padding=1, act=True, **kw)]
+
+    n_mod, n_br = hrnet.STAGE_CFG['stage4']
+    for m in range(n_mod):
+        n_out = 1 if m == n_mod - 1 else n_br
+        xs = _stage_module_grouped(packed['stage4'][str(m)],
+                                   params['stage4'][str(m)], xs, n_br, n_out,
+                                   group, c_base, dtype)
+
+    out = _ungroup(xs[0], group, c_base).astype(jnp.float32)
+    return L.conv2d(out, params['final_layer'], stride=1, padding=0)

@@ -104,3 +104,20 @@ def test_hrnet_apply_with_fused_chains(rng):
     y1 = hrnet.apply(params, x, fused_chains=chains)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_grouped_trunk_matches_plain(rng):
+    """hrnet_fast.apply_grouped == hrnet.apply (f32, CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet, hrnet_fast
+    from simple_hrnet_tpu.models import layers as L
+
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=4,
+                                          nof_joints=5))
+    packed = hrnet_fast.pack_grouped(params, group=2)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    y0 = hrnet.apply(params, x)
+    y1 = hrnet_fast.apply_grouped(params, packed, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-3, rtol=1e-4)
