@@ -18,7 +18,7 @@ bounding boxes) — but the execution model is rebuilt for TPU:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import numpy as np
 

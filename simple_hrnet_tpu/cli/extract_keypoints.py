@@ -10,7 +10,6 @@ import argparse
 import ast
 import csv
 import json
-import os
 import time
 
 

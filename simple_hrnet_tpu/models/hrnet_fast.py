@@ -22,7 +22,6 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from . import hrnet

@@ -18,8 +18,6 @@ provided.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 import jax.numpy as jnp

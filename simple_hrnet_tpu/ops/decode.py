@@ -20,7 +20,7 @@ All functions take NHWC-ordered heatmaps as produced by our models:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ computation with static shapes.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,6 @@ the always-available fallback.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 
 import jax

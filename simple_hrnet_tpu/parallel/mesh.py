@@ -17,7 +17,7 @@ multi-host platform provides one.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import numpy as np
 

@@ -10,11 +10,9 @@ and single-device Train loop, Train.py:236-262).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from simple_hrnet_tpu.models import layers as L

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from simple_hrnet_tpu.models import hrnet, poseresnet
-from simple_hrnet_tpu.models import layers as ML
 from simple_hrnet_tpu.ops import decode as D
 from simple_hrnet_tpu.train import losses as losses_mod
 from simple_hrnet_tpu.train import steps as steps_mod
