@@ -173,3 +173,40 @@ def test_trainer_checkpoint_resume(mini_coco, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     t2.run()  # finishes epoch 2 without error
     assert np.isfinite(t2.mean_loss_val)
+
+
+def test_dataset_with_detector_bboxes(mini_coco, tmp_path):
+    """use_gt_bboxes=False loads pre-detected boxes from a pickle
+    (reference COCO.py:136-150) and yields null joints."""
+    import pickle
+    from simple_hrnet_tpu.data.coco import COCODataset
+
+    bboxes = {img_id: [{'id': 100 + img_id,
+                        'clean_bbox': np.array([10.0, 10.0, 50.0, 60.0]),
+                        'score': 0.8}]
+              for img_id in range(1, 5)}
+    bbox_path = str(tmp_path / 'bboxes.pkl')
+    with open(bbox_path, 'wb') as f:
+        pickle.dump(bboxes, f)
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, use_gt_bboxes=False, bbox_path=bbox_path,
+                     image_width=64, image_height=64)
+    assert len(ds) == 4  # one detection per image
+    image, target, target_weight, meta = ds[0]
+    assert image.shape == (64, 64, 3)
+    # null joints -> gaussian stamped at origin-quantized positions but
+    # visibility weights all derive from the (default ones) visibility
+    assert target.shape == (16, 16, 17)
+
+
+def test_evaluate_accuracy_with_params(mini_coco):
+    from simple_hrnet_tpu.data.coco import COCODataset
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, image_width=64, image_height=64)
+    out = np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 17)).astype(np.float32)
+    accs, avg, cnt, pred, gt = ds.evaluate_accuracy(
+        out, out, params={'hm_type': 'gaussian', 'thr': 0.3})
+    assert float(avg) == 1.0  # identical tensors -> perfect PCK
