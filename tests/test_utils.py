@@ -192,3 +192,53 @@ def test_facade_engine_path(tmp_path, rng):
                       resolution=(64, 64), enable_tensorrt=True)
     np.testing.assert_allclose(eng.predict(frame), live.predict(frame),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_root_shim_import():
+    """`from SimpleHRNet import SimpleHRNet` works like the reference."""
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from SimpleHRNet import SimpleHRNet as Shim
+    from simple_hrnet_tpu import SimpleHRNet as Real
+    assert Shim is Real
+
+
+def test_half_engine_export(tmp_path, rng):
+    """--half (bf16) engines load and run."""
+    import jax
+    from simple_hrnet_tpu.models import poseresnet
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+    from simple_hrnet_tpu.utils.export import Engine, export_engine
+
+    params = poseresnet.init(jax.random.PRNGKey(0), resnet_size=18,
+                             nof_joints=17)
+    ckpt_path = str(tmp_path / 'p18.npz')
+    ckpt.save(ckpt_path, params)
+    out = export_engine(str(tmp_path / 'p18h.jaxpose'), ckpt_path, c=18,
+                        model_name='PoseResNet', resolution=(64, 64),
+                        batch_size=1, half=True)
+    engine = Engine(out)
+    assert engine.meta['half'] is True
+    y = np.asarray(engine(rng.standard_normal((1, 64, 64, 3))
+                          .astype(np.float32)))
+    assert np.isfinite(y).all() and y.shape == (1, 16, 16, 17)
+
+
+def test_profiling_helpers(rng):
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.utils.profiling import StageTimer, device_timer
+
+    timer = StageTimer()
+    with timer.stage('a'):
+        pass
+    with timer.stage('a'):
+        pass
+    assert 'a' in timer.means and 'a:' in timer.summary()
+
+    dt = device_timer(lambda v: jnp.sin(v) @ v,
+                      jnp.asarray(rng.standard_normal((64, 64)), jnp.float32),
+                      repeats=1)
+    assert dt > 0
