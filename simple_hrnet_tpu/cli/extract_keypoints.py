@@ -60,9 +60,12 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
             yield frame
             i += 1
 
-    if pipeline and not single_person:
-        # fused single-jit per-frame path, prefetch-pipelined on device
-        results = model.predict_stream(frames(), max_people=max_batch_size)
+    if pipeline:
+        # decode frames in a background thread + fused single-jit per-frame
+        # device pipeline: video IO, host work and TPU compute all overlap
+        from simple_hrnet_tpu.data.prefetch import prefetch_iter
+        results = model.predict_stream(prefetch_iter(frames()),
+                                       max_people=max_batch_size)
     else:
         results = (model.predict(f) for f in frames())
 

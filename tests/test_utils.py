@@ -242,3 +242,19 @@ def test_profiling_helpers(rng):
                       jnp.asarray(rng.standard_normal((64, 64)), jnp.float32),
                       repeats=1)
     assert dt > 0
+
+
+def test_prefetch_iter():
+    from simple_hrnet_tpu.data.prefetch import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError('decode failed')
+
+    it = prefetch_iter(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match='decode failed'):
+        next(it)
