@@ -53,7 +53,10 @@ class SimpleHRNet:
       * ``yolo_model_def``: 'yolov3', 'yolov3-tiny', or a darknet .cfg path.
       * ``enable_tensorrt`` is accepted for API compatibility; the XLA jit
         path *is* the optimized engine (see cli/export.py for AOT export).
-      * extra ``dtype``: None (f32) or 'bfloat16' for bf16 conv compute.
+      * extra ``dtype``: None (f32) or 'bfloat16' for bf16 conv compute;
+        ``use_fused_kernels`` (default True) enables the block-diagonal
+        fast chains for HRNet inference (f32-exact; see PERF.md) —
+        set False for the plain reference-shaped graph.
     """
 
     def __init__(self,
@@ -74,7 +77,7 @@ class SimpleHRNet:
                  device=None,
                  enable_tensorrt: bool = False,
                  dtype: Union[str, None] = None,
-                 use_fused_kernels: bool = False,
+                 use_fused_kernels: bool = True,
                  mesh=None):
         self.c = c
         self.nof_joints = nof_joints
