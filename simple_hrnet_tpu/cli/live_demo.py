@@ -20,7 +20,8 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
          single_person=False, yolo_version='v3', use_tiny_yolo=False,
          disable_tracking=False, max_batch_size=16, disable_vidgear=False,
          save_video=False, video_format='MJPG', video_framerate=30,
-         device=None, enable_tensorrt=False, max_frames=None):
+         device=None, enable_tensorrt=False, max_frames=None,
+         pipeline=False):
     import cv2
 
     from simple_hrnet_tpu import SimpleHRNet
@@ -52,22 +53,44 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
     video_writer = None
     prev_boxes = prev_pts = prev_person_ids = None
     next_person_id = 0
-    frame_i = 0
-    while True:
-        if max_frames is not None and frame_i >= max_frames:
-            break
-        t_start = time.time()
-        ret, frame = video_source.read()
-        if not ret:
-            break
-        if rotation_code is not None:
-            frame = cv2.rotate(frame, rotation_code)
+
+    def frame_gen():
+        i = 0
+        while max_frames is None or i < max_frames:
+            ret, f = video_source.read()
+            if not ret:
+                return
+            if rotation_code is not None:
+                f = cv2.rotate(f, rotation_code)
+            yield f
+            i += 1
+
+    import collections
+    frame_buf = collections.deque()
+
+    def frames_tee():
+        for f in frame_gen():
+            frame_buf.append(f)
+            yield f
+
+    if pipeline and not single_person:
+        # fused per-frame device pipeline + background frame decode;
+        # tracking stays host-side, consuming results in frame order
+        from simple_hrnet_tpu.data.prefetch import prefetch_iter
+        results = model.predict_stream(prefetch_iter(frames_tee()),
+                                       max_people=max_batch_size)
+    else:
+        results = (model.predict(f) for f in frames_tee())
+
+    t_start = time.time()
+    for res in results:
+        frame = frame_buf.popleft()
 
         if disable_tracking:
-            pts = model.predict(frame)
+            pts = res
             boxes = None
         else:
-            boxes, pts = model.predict(frame)
+            boxes, pts = res
             if prev_pts is None or prev_person_ids is None:
                 person_ids = np.arange(next_person_id,
                                        len(pts) + next_person_id, dtype=np.int32)
@@ -96,6 +119,7 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
 
         fps = 1.0 / max(time.time() - t_start, 1e-6)
         print(f'\rframerate: {fps:f} fps', end='')
+        t_start = time.time()
 
         if save_video:
             if video_writer is None:
@@ -112,7 +136,6 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
             except cv2.error:
                 # headless environment — keep running (e.g. with save_video)
                 pass
-        frame_i += 1
 
     if video_writer is not None:
         video_writer.release()
@@ -143,6 +166,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--device', type=str, default=None)
     parser.add_argument('--enable_tensorrt', action='store_true')
     parser.add_argument('--max_frames', type=int, default=None)
+    parser.add_argument('--pipeline', action='store_true',
+                        help='fused per-frame device pipeline + background '
+                             'frame decode (multi-person)')
     return parser
 
 
