@@ -127,7 +127,9 @@ class SimpleHRNet:
             params = L.fold_batch_norm(ckpt.load(checkpoint_path))
 
             if model_name in ('HRNet', 'hrnet'):
-                if use_fused_kernels:
+                # under a mesh the batch-halves packing would concat across
+                # the sharded axis (ICI traffic) — keep the plain graph there
+                if use_fused_kernels and mesh is None:
                     # Pallas fused high-res branch chains (PERF.md); packed
                     # once here, threaded through every jitted pipeline.
                     fused = hrnet.pack_fused_chains(
