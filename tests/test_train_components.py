@@ -164,3 +164,33 @@ def test_coco_ap_evaluator_sanity(rng):
             'score': 0.9} for r in results]
     stats_bad = M.coco_eval_from_results(gt_ann, bad)
     assert stats_bad['AP'] < 0.05
+
+
+def test_coco_ap_analytic_case(rng):
+    """Hand-computed AP: 3 GTs, 2 TPs + 1 FP ranked [TP .9, FP .8, TP .7].
+
+    precision-over-recall after interpolation: 1.0 up to r=1/3, 2/3 up to
+    r=2/3, 0 beyond -> 101-pt AP = (34*1 + 33*2/3)/101 = 56/101.
+    """
+    from simple_hrnet_tpu.utils import metrics as M
+
+    def person(x0, y0):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = x0 + np.arange(17) * 3
+        kp[:, 1] = y0 + np.arange(17) * 2
+        kp[:, 2] = 2
+        return kp
+
+    gts = {0: [{'keypoints': person(50, 50), 'area': 80 * 80},
+               {'keypoints': person(300, 300), 'area': 80 * 80}],
+           1: [{'keypoints': person(100, 100), 'area': 80 * 80}]}
+    dts = {0: [{'keypoints': person(50, 50), 'score': 0.9,
+                'area': 80 * 80},
+               {'keypoints': person(700, 700), 'score': 0.8,
+                'area': 80 * 80}],           # far-off false positive
+           1: [{'keypoints': person(100, 100), 'score': 0.7,
+                'area': 80 * 80}]}
+
+    ap, ar, _ = M.coco_keypoint_ap(gts, dts, np.asarray([0.5]))
+    np.testing.assert_allclose(ap, 56 / 101, atol=1e-6)
+    np.testing.assert_allclose(ar, 2 / 3, atol=1e-6)
