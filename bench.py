@@ -65,21 +65,20 @@ def measure_tpu_fps() -> float:
     import jax
     import jax.numpy as jnp
 
-    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.models import hrnet, hrnet_fast
     from simple_hrnet_tpu.models import layers as L
 
     params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=48,
                                           nof_joints=17))
-    # inference fast path: block-diagonal image-pair chains on the
-    # high-res branch (PERF.md; exposed as SimpleHRNet(use_fused_kernels=True))
-    chains = hrnet.pack_fused_chains(params, branches=(0,))
+    # inference fast path: grouped trunk (PERF.md; what
+    # SimpleHRNet(use_fused_kernels=True) runs)
+    packed = hrnet_fast.pack_grouped(params)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (BATCH, *RES, 3)), jnp.float32)
 
-    def chained(p, v, iters):
+    def chained(p, pk, v, iters):
         def body(carry, _):
-            y = hrnet.apply(p, carry, dtype=jnp.bfloat16,
-                            fused_chains=chains)
+            y = hrnet_fast.apply_grouped(p, pk, carry, dtype=jnp.bfloat16)
             # feed a cheap function of y back in to serialize iterations
             return carry + jnp.mean(y) * 1e-9, jnp.mean(y)
         _, means = jax.lax.scan(body, v, None, length=iters)
@@ -87,12 +86,12 @@ def measure_tpu_fps() -> float:
 
     times = {}
     for iters in (2, 22):
-        f = jax.jit(lambda p, v, n=iters: chained(p, v, n))
-        float(f(params, x))  # compile + run once
+        f = jax.jit(lambda p, pk, v, n=iters: chained(p, pk, v, n))
+        float(f(params, packed, x))  # compile + run once
         best = float('inf')
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(params, x))  # scalar readback forces completion
+            float(f(params, packed, x))  # scalar readback forces completion
             best = min(best, time.perf_counter() - t0)
         times[iters] = best
     dt = (times[22] - times[2]) / 20

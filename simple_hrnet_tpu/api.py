@@ -130,11 +130,20 @@ class SimpleHRNet:
                 # under a mesh the batch-halves packing would concat across
                 # the sharded axis (ICI traffic) — keep the plain graph there
                 if use_fused_kernels and mesh is None:
-                    # Pallas fused high-res branch chains (PERF.md); packed
-                    # once here, threaded through every jitted pipeline.
-                    fused = hrnet.pack_fused_chains(
-                        params, dtype=self.dtype or jnp.float32)
-                    self._apply = partial(hrnet.apply, fused_chains=fused)
+                    # grouped trunk (PERF.md): block-diagonal batch-halves
+                    # packing of branch0 + transitions + fuse layers. The
+                    # packed weights travel as part of the params bundle
+                    # (jit ARGUMENT, not closure — closures bake them into
+                    # the HLO as constants).
+                    from simple_hrnet_tpu.models import hrnet_fast
+                    params = {'p': params,
+                              'packed': hrnet_fast.pack_grouped(params)}
+
+                    def grouped_apply(bundle, x, dtype=None):
+                        return hrnet_fast.apply_grouped(
+                            bundle['p'], bundle['packed'], x, dtype=dtype)
+
+                    self._apply = grouped_apply
                 else:
                     self._apply = hrnet.apply
             elif model_name in ('PoseResNet', 'poseresnet', 'ResNet',

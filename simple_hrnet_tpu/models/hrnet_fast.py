@@ -29,8 +29,10 @@ from . import layers as L
 
 Params = Dict[str, Any]
 
-# branches computed ungrouped (large channels: grouping loses there)
-UNGROUPED_BRANCHES = (2, 3)
+# branches computed ungrouped inside the grouped flow. Measured (PERF.md):
+# grouping branch 0 + transitions + fuse layers wins (1154 img/s W48-b16);
+# grouping branch 1 (C=96) or the big-C branches loses.
+UNGROUPED_BRANCHES = (1, 2, 3)
 
 
 def _blockdiag_conv(node: Params, group: int) -> Params:
@@ -129,11 +131,14 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
 
 def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
                   dtype=None) -> jnp.ndarray:
-    """Forward with the grouped trunk. Batch must be divisible by the
-    packing group (pad upstream; the facade's buckets guarantee it)."""
+    """Forward with the grouped trunk (pads odd batches internally)."""
     # group is static (derived from shapes, safe under jit tracing)
     c_base = params['transition1']['0']['0']['kernel'].shape[3]
     group = packed['transition1']['0']['0']['kernel'].shape[3] // c_base
+    orig_b = x.shape[0]
+    pad = (-orig_b) % group
+    if pad:
+        x = jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
     kw = dict(train=False, stats=None, axis_name=None, dtype=dtype)
 
     # stem + layer1 ungrouped (channel widths already fill the MXU)
@@ -176,4 +181,5 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
                                    group, c_base, dtype)
 
     out = _ungroup(xs[0], group, c_base).astype(jnp.float32)
-    return L.conv2d(out, params['final_layer'], stride=1, padding=0)
+    out = L.conv2d(out, params['final_layer'], stride=1, padding=0)
+    return out[:orig_b]
