@@ -212,3 +212,18 @@ def test_pad_to_aspect_matches_reference_int_arithmetic(rng):
     # exact match in the vast majority of cases (banker's rounding edge cases aside)
     exact = np.mean(np.all(got == np.asarray(expected, np.float32), axis=1))
     assert exact > 0.9
+
+
+def test_winograd_conv_matches_direct(rng):
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.ops import winograd as W
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 6)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    got = W.conv3x3_winograd(x, W.transform_kernel(k))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
