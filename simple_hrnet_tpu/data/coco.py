@@ -66,7 +66,8 @@ class COCODataset(HumanPoseEstimationDataset):
                  half_body_prob: float = 0.3,
                  use_different_joints_weight: bool = False,
                  heatmap_sigma: float = 3,
-                 soft_nms: bool = False):
+                 soft_nms: bool = False,
+                 use_native_decode: bool = False):
         self.root_path = root_path
         self.data_version = data_version
         self.is_train = is_train
@@ -84,6 +85,14 @@ class COCODataset(HumanPoseEstimationDataset):
         self.use_different_joints_weight = use_different_joints_weight
         self.heatmap_sigma = heatmap_sigma
         self.soft_nms = soft_nms
+        # native fused JPEG->warp->normalize path (data/native.py)
+        if use_native_decode:
+            from simple_hrnet_tpu.data import native as native_img
+            if not native_img.available():
+                raise RuntimeError(
+                    'use_native_decode=True but native/libimgproc.so is not '
+                    'built (cd native && make)')
+        self.use_native_decode = use_native_decode
 
         self.data_path = os.path.join(root_path, data_version)
         self.annotation_path = os.path.join(
@@ -171,12 +180,23 @@ class COCODataset(HumanPoseEstimationDataset):
         import cv2
 
         joints_data = dict(self.data[index])
-        image = cv2.imread(joints_data['imgPath'],
-                           cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
-        if image is None:
-            raise ValueError('Fail to read %s' % joints_data['imgPath'])
-        if self.color_rgb:
-            image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        jpeg_bytes = None
+        if self.use_native_decode:
+            from simple_hrnet_tpu.data import native as native_img
+            with open(joints_data['imgPath'], 'rb') as f:
+                jpeg_bytes = f.read()
+            image = native_img.decode_jpeg_rgb(jpeg_bytes)
+            if image is None:
+                raise ValueError('Fail to read %s' % joints_data['imgPath'])
+            if not self.color_rgb:
+                image = image[..., ::-1]
+        else:
+            image = cv2.imread(joints_data['imgPath'],
+                               cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+            if image is None:
+                raise ValueError('Fail to read %s' % joints_data['imgPath'])
+            if self.color_rgb:
+                image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
 
         joints = joints_data['joints'].copy()
         joints_vis = joints_data['joints_visibility'].copy()

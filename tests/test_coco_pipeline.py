@@ -210,3 +210,45 @@ def test_evaluate_accuracy_with_params(mini_coco):
     accs, avg, cnt, pred, gt = ds.evaluate_accuracy(
         out, out, params={'hm_type': 'gaussian', 'thr': 0.3})
     assert float(avg) == 1.0  # identical tensors -> perfect PCK
+
+
+def test_native_decode_path_matches_cv2(mini_coco):
+    """Native fused JPEG->warp->normalize == the cv2 pipeline (tolerance:
+    JPEG IDCT and fixed-point-interp differences are sub-LSB)."""
+    from simple_hrnet_tpu.data import native as native_img
+    if not native_img.available():
+        pytest.skip('libimgproc.so not built')
+
+    from simple_hrnet_tpu.data.coco import COCODataset
+
+    kwargs = dict(root_path=mini_coco, data_version='train2017',
+                  is_train=False, image_width=64, image_height=64)
+    ds_cv = COCODataset(**kwargs)
+    ds_nat = COCODataset(use_native_decode=True, **kwargs)
+
+    for idx in (0, 3):
+        img_cv, tgt_cv, tw_cv, _ = ds_cv[idx]
+        img_nat, tgt_nat, tw_nat, _ = ds_nat[idx]
+        assert img_nat.shape == img_cv.shape
+        # normalized-space tolerance ~ (2/255)/std
+        assert np.abs(img_nat - img_cv).mean() < 0.02
+        assert np.quantile(np.abs(img_nat - img_cv), 0.99) < 0.15
+        np.testing.assert_allclose(tgt_nat, tgt_cv, atol=1e-6)
+
+
+def test_native_decode_with_flip_augmentation(mini_coco):
+    """The flipped-augmentation branch of the native path stays finite and
+    correctly shaped (warps the decoded flipped array)."""
+    from simple_hrnet_tpu.data import native as native_img
+    if not native_img.available():
+        pytest.skip('libimgproc.so not built')
+
+    from simple_hrnet_tpu.data.coco import COCODataset
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=True, image_width=64, image_height=64,
+                     flip_prob=1.0, rotate_prob=0.0, half_body_prob=0.0,
+                     use_native_decode=True)
+    img, tgt, tw, meta = ds[0]
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
