@@ -299,26 +299,33 @@ def fold_batch_norm(tree: Params) -> Params:
     """
     if not isinstance(tree, dict):
         return tree
-    out: Params = {}
+    # Pre-pass: find every BN that will be absorbed, so iteration order
+    # cannot leak it into the output (checkpoint-loaded dicts may order
+    # 'bn1' before 'conv1').
     consumed = set()
-    keys = list(tree.keys())
-    for k in keys:
-        if k in consumed:
-            continue
-        v = tree[k]
-        # convN/bnN pattern
+    for k, v in tree.items():
         if k.startswith('conv') and _is_conv(v):
             bn_key = 'bn' + k[len('conv'):]
             if bn_key in tree and _is_bn(tree[bn_key]):
-                out[k] = _fold_pair(v, tree[bn_key])
                 consumed.add(bn_key)
-                continue
-        # sequential "i" conv -> "i+1" bn pattern
-        if k.isdigit() and _is_conv(v):
+        elif k.isdigit() and _is_conv(v):
             nxt = str(int(k) + 1)
             if nxt in tree and _is_bn(tree[nxt]):
-                out[k] = _fold_pair(v, tree[nxt])
                 consumed.add(nxt)
+
+    out: Params = {}
+    for k, v in tree.items():
+        if k in consumed:
+            continue
+        if k.startswith('conv') and _is_conv(v):
+            bn_key = 'bn' + k[len('conv'):]
+            if bn_key in consumed:
+                out[k] = _fold_pair(v, tree[bn_key])
+                continue
+        if k.isdigit() and _is_conv(v):
+            nxt = str(int(k) + 1)
+            if nxt in consumed:
+                out[k] = _fold_pair(v, tree[nxt])
                 continue
         out[k] = fold_batch_norm(v) if isinstance(v, dict) else v
     return out

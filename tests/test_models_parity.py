@@ -114,3 +114,19 @@ def test_roundtrip_state_dict(rng):
                                   sorted(flat2, key=lambda t: str(t[0]))):
         assert str(p1) == str(p2)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_fold_batch_norm_key_order_insensitive(rng):
+    """Folding must not depend on dict iteration order (npz-loaded trees
+    alphabetize 'bn1' before 'conv1'; regression for a silent double-BN)."""
+    import jax
+    from simple_hrnet_tpu.models import layers as L
+
+    blk = L.init_basic_block(jax.random.PRNGKey(0), 8, 8)
+    reordered = {k: blk[k] for k in sorted(blk.keys())}  # bn1 first
+    f1 = L.fold_batch_norm(blk)
+    f2 = L.fold_batch_norm(reordered)
+    assert sorted(f1.keys()) == sorted(f2.keys()) == ['conv1', 'conv2']
+    x = np.asarray(rng.standard_normal((1, 8, 8, 8)), np.float32)
+    np.testing.assert_allclose(np.asarray(L.basic_block(f1, x)),
+                               np.asarray(L.basic_block(f2, x)), atol=1e-6)
