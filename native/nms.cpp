@@ -25,8 +25,13 @@ int cpu_nms(const float* dets, int n, float thresh, int* keep_out) {
 
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
-    return dets[5 * a + 4] > dets[5 * b + 4];
+  // Tie-break by DESCENDING index: numpy's scores.argsort()[::-1] (used by
+  // both the python fallback and the reference Cython cpu_nms) reverses a
+  // stable ascending sort, so equal scores come out highest-index first.
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    const float sa = dets[5 * a + 4], sb = dets[5 * b + 4];
+    if (sa != sb) return sa > sb;
+    return a > b;
   });
 
   std::vector<uint8_t> suppressed(n, 0);

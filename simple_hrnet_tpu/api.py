@@ -235,10 +235,18 @@ class SimpleHRNet:
         self._single_jit[key] = run
         return run
 
-    def _get_crop(self, bucket: int):
-        """Crop-batch pipeline: boxes -> aspect pad -> crop -> pose -> decode."""
-        if bucket in self._crop_jit:
-            return self._crop_jit[bucket]
+    def _get_crop(self, bucket: int, clamp_hw: Optional[tuple] = None):
+        """Crop-batch pipeline: boxes -> aspect pad -> crop -> pose -> decode.
+
+        ``clamp_hw=(H, W)`` switches to the reference's BATCH-path semantics
+        (SimpleHRNet.py:393-410): the aspect-corrected box is clamped to the
+        image bounds and real pixels are cropped. Default (None) is the
+        single-image semantics: unclamped box, zero-filled padding outside
+        the original detection (SimpleHRNet.py:243-276).
+        """
+        key = (bucket, clamp_hw)
+        if key in self._crop_jit:
+            return self._crop_jit[key]
         res_h, res_w = self.resolution
         aspect = res_h / res_w
         apply_fn = self._apply
@@ -248,12 +256,13 @@ class SimpleHRNet:
         def run(params, frames_bgr, frame_idx, boxes):
             # frames (B, H, W, 3) uint8 BGR; frame_idx (P,); boxes (P, 4) xyxy
             boxes = jnp.round(boxes)
-            padded = I.pad_to_aspect(boxes, aspect)
+            padded = I.pad_to_aspect(boxes, aspect, clamp_hw=clamp_hw)
             rgb = frames_bgr[..., ::-1]
 
             def crop_one(fi, box, orig_box):
-                return I.crop_resize(rgb[fi], box, (res_h, res_w),
-                                     valid_box=orig_box)
+                return I.crop_resize(
+                    rgb[fi], box, (res_h, res_w),
+                    valid_box=None if clamp_hw is not None else orig_box)
 
             crops = jax.vmap(crop_one)(frame_idx, padded, boxes)
             # reference crops go through PIL as uint8 before ToTensor
@@ -272,7 +281,7 @@ class SimpleHRNet:
             data = data_sharding(self.mesh)
             run = jax.jit(run.__wrapped__,
                           in_shardings=(repl, repl, data, data))
-        self._crop_jit[bucket] = run
+        self._crop_jit[key] = run
         return run
 
     def _get_fused_frame(self, in_hw: Tuple[int, int], max_people: int):
@@ -485,7 +494,11 @@ class SimpleHRNet:
                 pad = bucket - chunk_b.shape[0]
                 chunk_b = np.pad(chunk_b, ((0, pad), (0, 0)))
                 chunk_f = np.pad(chunk_f, (0, pad))
-                run = self._get_crop(bucket)
+                # reference batch path clamps corrected boxes to the frame
+                # and crops real pixels (SimpleHRNet.py:393-410)
+                run = self._get_crop(
+                    bucket, clamp_hw=(int(images.shape[1]),
+                                      int(images.shape[2])))
                 hm, pboxes, pts = run(self.params, images, chunk_f, chunk_b)
                 take = bucket - pad
                 hm_all[start:start + take] = np.asarray(hm)[:take]

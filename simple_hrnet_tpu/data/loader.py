@@ -75,6 +75,18 @@ class DataLoader:
         out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def safe_put(item) -> bool:
+            # timed put re-checking stop: a consumer that abandons iteration
+            # early must not leave the producer blocked forever on a full
+            # queue (leaking the thread + its pool per abandoned epoch)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -83,11 +95,12 @@ class DataLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, bidx))
-                        out_q.put(('ok', self.collate_fn(items)))
+                        if not safe_put(('ok', self.collate_fn(items))):
+                            return
             except BaseException as e:  # surface worker errors to consumer
-                out_q.put(('err', e))
+                safe_put(('err', e))
                 return
-            out_q.put(('done', None))
+            safe_put(('done', None))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

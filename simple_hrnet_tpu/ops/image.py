@@ -55,9 +55,12 @@ def crop_resize(image: jnp.ndarray, box: jnp.ndarray,
                 out_hw: Tuple[int, int],
                 valid_box: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Crop ``box`` (x1, y1, x2, y2 float) from HWC image and bilinearly
-    resize to ``out_hw`` on device (half-pixel-center convention, the same
-    sampling grid as cv2.resize/PIL INTER_LINEAR). Regions outside the image
-    are zero — equivalent to the reference's np.pad + crop.
+    resize to ``out_hw`` on device (half-pixel-center convention — the
+    cv2.resize INTER_LINEAR sampling grid; NOTE the reference resizes crops
+    through PIL transforms.Resize, which antialiases when downscaling, so
+    crops from boxes larger than the input resolution differ slightly — a
+    deliberate deviation, see PARITY.md). Regions outside the image are
+    zero — equivalent to the reference's np.pad + crop.
 
     ``valid_box``: if given, samples falling outside it are zeroed even when
     inside the image. This reproduces the reference's aspect-ratio padding
@@ -158,13 +161,20 @@ def resize_cubic(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return x
 
 
-def pad_to_aspect(boxes: jnp.ndarray, aspect: float) -> jnp.ndarray:
+def pad_to_aspect(boxes: jnp.ndarray, aspect: float,
+                  clamp_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Expand xyxy boxes (float) to the target height/width aspect ratio.
 
     Device-side equivalent of the reference's correction_factor logic
     (SimpleHRNet.py:243-272): the box is symmetrically grown along the
     deficient axis; the (possibly out-of-image) padded region samples as
     zeros in crop_resize, matching np.pad semantics.
+
+    ``clamp_hw``: the reference's BATCH path (SimpleHRNet.py:393-407) instead
+    clamps the grown coordinates to the image bounds — max(0, lo), min(H|W,
+    hi) — and crops real pixels. Pass (H, W) to reproduce that; only the
+    grown axis is clamped, the other axis keeps the raw detector box exactly
+    as the reference does.
 
     The reference computes, in ints: length = round(side * f); new bounds =
     center -/+ length // 2 with center = lo + side // 2. We reproduce that
@@ -185,6 +195,12 @@ def pad_to_aspect(boxes: jnp.ndarray, aspect: float) -> jnp.ndarray:
     lx = jnp.round(w / jnp.maximum(correction, 1e-6))
     x1_new = cx - jnp.floor(lx / 2)
     x2_new = cx + jnp.floor(lx / 2)
+
+    if clamp_hw is not None:
+        y1_new = jnp.maximum(y1_new, 0.0)
+        y2_new = jnp.minimum(y2_new, float(clamp_hw[0]))
+        x1_new = jnp.maximum(x1_new, 0.0)
+        x2_new = jnp.minimum(x2_new, float(clamp_hw[1]))
 
     grow_y = correction > 1
     grow_x = correction < 1

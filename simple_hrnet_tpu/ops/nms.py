@@ -133,7 +133,10 @@ def nms_numpy(dets: np.ndarray, thresh: float) -> list:
 
     x1, y1, x2, y2, scores = (dets[:, i] for i in range(5))
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort()[::-1]
+    # kind='stable': the reference's plain argsort (introsort) orders tied
+    # scores arbitrarily; stable-then-reverse pins ties to descending index,
+    # which the C++ comparator (native/nms.cpp) reproduces exactly.
+    order = scores.argsort(kind='stable')[::-1]
     keep = []
     while order.size > 0:
         i = order[0]

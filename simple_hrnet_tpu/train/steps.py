@@ -102,5 +102,20 @@ def make_optimizer(name: str = 'SGD', lr: float = 0.001,
     else:
         raise NotImplementedError(f'Unknown optimizer {name!r}')
     if weight_decay:
-        opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+        opt = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=_decay_mask), opt)
     return opt
+
+
+def _decay_mask(params):
+    """True for decayable leaves. BN running 'mean'/'var' are torch *buffers*
+    (never seen by the optimizer — Train.py passes model.parameters()), so
+    decaying them would silently corrupt BN statistics. BN scale/bias ARE
+    decayed, matching torch's default param group.
+    """
+    def mask(path, _leaf):
+        last = path[-1]
+        key = getattr(last, 'key', None)
+        return key not in ('mean', 'var')
+
+    return jax.tree_util.tree_map_with_path(mask, params)

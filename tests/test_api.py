@@ -210,6 +210,55 @@ def test_batch_contract(w32_checkpoint, rng):
     assert pts.shape == (3, 1, 17, 3)
 
 
+def test_batch_path_clamps_boxes_like_reference(w32_checkpoint, rng):
+    """The reference's BATCH path clamps aspect-corrected boxes to the frame
+    and crops real pixels (SimpleHRNet.py:393-410), unlike the single path's
+    zero-padding (SimpleHRNet.py:243-276). Pin both semantics on a box whose
+    correction crosses the frame edge."""
+    import cv2
+    import torch
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, torch_model = w32_checkpoint
+    resolution = (128, 96)  # aspect 4/3
+    frames = rng.uniform(0, 255, (1, 100, 140, 3)).astype(np.uint8)
+    box = np.array([[10, 10, 90, 50]], np.float32)  # w=80 h=40 -> grow y
+
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=resolution,
+                        return_heatmaps=True, return_bounding_boxes=True)
+    model.multiperson = True
+    model.detector = _StubDetector([box])
+
+    heatmaps_b, boxes_b, pts_b = model.predict(frames)
+
+    # reference batch arithmetic (SimpleHRNet.py:386-410)
+    x1, y1, x2, y2 = box[0].astype(int)
+    correction = resolution[0] / resolution[1] * (x2 - x1) / (y2 - y1)
+    assert correction > 1
+    cy = y1 + (y2 - y1) // 2
+    ln = int(round((y2 - y1) * correction))
+    y1n, y2n = max(0, cy - ln // 2), min(frames.shape[1], cy + ln // 2)
+    assert cy - ln // 2 < 0  # the interesting case: clamping actually bites
+    np.testing.assert_allclose(boxes_b[0][0], [x1, y1n, x2, y2n], atol=0)
+
+    # batch crop = REAL pixels of the clamped box, resized
+    crop = frames[0][y1n:y2n, x1:x2, ::-1]
+    resized = cv2.resize(crop, (resolution[1], resolution[0]),
+                         interpolation=cv2.INTER_LINEAR)
+    norm = (resized.astype(np.float32) / 255.0 -
+            [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    with torch.no_grad():
+        ref_hm = torch_model(torch.from_numpy(
+            np.transpose(norm, (2, 0, 1))[None]).float()).numpy()[0]
+    corr = np.corrcoef(heatmaps_b[0][0].ravel(), ref_hm.ravel())[0, 1]
+    assert corr > 0.98
+
+    # the single path on the same frame keeps the UNCLAMPED box
+    _, boxes_s, _ = model.predict(frames[0])
+    np.testing.assert_allclose(boxes_s[0], [x1, cy - ln // 2, x2, cy + ln // 2],
+                               atol=0)
+
+
 def test_empty_frame_contract(w32_checkpoint):
     from simple_hrnet_tpu import SimpleHRNet
 

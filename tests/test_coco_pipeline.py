@@ -105,6 +105,31 @@ def test_loader_batches_and_order(mini_coco):
         list(DataLoader(Broken(), batch_size=2))
 
 
+def test_loader_abandoned_iteration_stops_producer():
+    """Breaking out of iteration early must unblock the producer thread
+    (timed put re-checks the stop event) — no leaked thread per epoch."""
+    import threading
+    import time
+    from simple_hrnet_tpu.data.loader import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.full((4,), i, np.float32)
+
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(DataLoader(Tiny(), batch_size=2, prefetch_batches=1))
+        next(it)
+        it.close()  # consumer abandons -> generator finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_coco_train_one_epoch(mini_coco, tmp_path):
     """Full COCOTrain epoch: fused step + PCK + COCO AP + checkpoints."""
     from simple_hrnet_tpu.data.coco import COCODataset

@@ -165,6 +165,18 @@ def test_native_cpp_nms_matches_python(rng):
         N._NATIVE = saved
     assert native == pure
 
+    # tied scores: argsort()[::-1] keeps the HIGHEST index first; the C++
+    # comparator must agree (descending-index tie-break)
+    tied = boxes.copy()
+    tied[:, 4] = np.repeat(rng.uniform(0, 1, n // 4), 4).astype(np.float32)
+    native_t = N.nms_numpy(tied, 0.4)
+    N._NATIVE = False
+    try:
+        pure_t = N.nms_numpy(tied, 0.4)
+    finally:
+        N._NATIVE = saved
+    assert native_t == pure_t
+
 
 def test_oks_nms_parity(rng):
     """oks_nms / soft_oks_nms match the reference misc/nms/nms.py outputs."""

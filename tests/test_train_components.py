@@ -194,3 +194,28 @@ def test_coco_ap_analytic_case(rng):
     ap, ar, _ = M.coco_keypoint_ap(gts, dts, np.asarray([0.5]))
     np.testing.assert_allclose(ap, 56 / 101, atol=1e-6)
     np.testing.assert_allclose(ar, 2 / 3, atol=1e-6)
+
+
+def test_weight_decay_skips_bn_running_stats():
+    """Running mean/var are torch *buffers* — the reference optimizer never
+    decays them. Zero grads + wd>0 must leave them bit-identical while
+    decaying kernels and BN scale/bias (torch's default param group)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from simple_hrnet_tpu.train import steps
+
+    params = {'conv1': {'kernel': jnp.ones((3, 3, 4, 4))},
+              'bn1': {'scale': jnp.ones((4,)), 'bias': jnp.ones((4,)),
+                      'mean': jnp.full((4,), 0.25), 'var': jnp.full((4,), 2.0)}}
+    opt = steps.make_optimizer('SGD', lr=1.0, momentum=0.0, weight_decay=1e-2)
+    state = opt.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero_grads, state, params)
+    new = optax.apply_updates(params, updates)
+
+    np.testing.assert_array_equal(np.asarray(new['bn1']['mean']), 0.25)
+    np.testing.assert_array_equal(np.asarray(new['bn1']['var']), 2.0)
+    assert float(np.asarray(new['conv1']['kernel'])[0, 0, 0, 0]) < 1.0
+    assert float(np.asarray(new['bn1']['scale'])[0]) < 1.0
+    assert float(np.asarray(new['bn1']['bias'])[0]) < 1.0
