@@ -171,6 +171,7 @@ class SimpleHRNet:
             elif yolo_version == 'v5':
                 from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
                 self.detector = YOLOv5(model_def=yolo_model_def,
+                                       max_batch_size=max_batch_size,
                                        dtype=self.dtype)
             else:
                 raise ValueError('Unsupported YOLO version.')
@@ -235,16 +236,17 @@ class SimpleHRNet:
         self._single_jit[key] = run
         return run
 
-    def _get_crop(self, bucket: int, clamp_hw: Optional[tuple] = None):
-        """Crop-batch pipeline: boxes -> aspect pad -> crop -> pose -> decode.
-
-        ``clamp_hw=(H, W)`` switches to the reference's BATCH-path semantics
-        (SimpleHRNet.py:393-410): the aspect-corrected box is clamped to the
-        image bounds and real pixels are cropped. Default (None) is the
-        single-image semantics: unclamped box, zero-filled padding outside
-        the original detection (SimpleHRNet.py:243-276).
+    def _get_gather_crop(self, bucket: int, clamp_hw: Optional[tuple] = None):
+        """Fused compaction pipeline: (rows, valid) from the detector stay ON
+        DEVICE; valid (frame, box) pairs are compacted frame-major via a
+        stable argsort, a ``bucket``-sized window of them is cropped, posed
+        and decoded — all in one jit. The total people count is returned as
+        an output, so the host's first (and usually only) readback happens
+        AFTER the pose forward: no host synchronization between detection
+        and pose (the round-trip the reference pays per frame,
+        SimpleHRNet.py:228-296 / SURVEY.md §3.1).
         """
-        key = (bucket, clamp_hw)
+        key = ('gather', bucket, clamp_hw)
         if key in self._crop_jit:
             return self._crop_jit[key]
         res_h, res_w = self.resolution
@@ -253,36 +255,85 @@ class SimpleHRNet:
         dtype = self.dtype
 
         @jax.jit
-        def run(params, frames_bgr, frame_idx, boxes):
-            # frames (B, H, W, 3) uint8 BGR; frame_idx (P,); boxes (P, 4) xyxy
-            boxes = jnp.round(boxes)
+        def run(params, frames_bgr, rows, valid, start):
+            # frames (B, H, W, 3) uint8 BGR; rows (B, D, 7); valid (B, D)
+            d = valid.shape[1]
+            flat_valid = valid.reshape(-1)
+            counts = valid.sum(axis=1).astype(jnp.int32)
+            total = flat_valid.sum().astype(jnp.int32)
+            # valid entries first, frame-major order preserved; pad so the
+            # dynamic window never clamps (garbage slots beyond `total` are
+            # computed but discarded by the host unpad)
+            order = jnp.argsort(jnp.logical_not(flat_valid),
+                                stable=True).astype(jnp.int32)
+            order = jnp.pad(order, (0, bucket))
+            sel = jax.lax.dynamic_slice(order, (start,), (bucket,))
+            fi = (sel // d).astype(jnp.int32)
+            boxes = jnp.round(rows.reshape(-1, rows.shape[-1])[sel][:, :4])
             padded = I.pad_to_aspect(boxes, aspect, clamp_hw=clamp_hw)
             rgb = frames_bgr[..., ::-1]
 
-            def crop_one(fi, box, orig_box):
+            def crop_one(f, box, orig_box):
                 return I.crop_resize(
-                    rgb[fi], box, (res_h, res_w),
+                    rgb[f], box, (res_h, res_w),
                     valid_box=None if clamp_hw is not None else orig_box)
 
-            crops = jax.vmap(crop_one)(frame_idx, padded, boxes)
-            # reference crops go through PIL as uint8 before ToTensor
+            crops = jax.vmap(crop_one)(fi, padded, boxes)
             crops = jnp.round(crops)
             x = I.normalize(jnp.clip(crops, 0.0, 255.0))
             hm = apply_fn(params, x, dtype=dtype)
             pts = D.argmax_decode(hm, padded)
-            return hm, padded, pts
+            return total, counts, hm, padded, pts
 
         if self.mesh is not None:
-            # shard the crop batch over 'data'; frames replicated (every
-            # device gathers its own crops from the full frame)
             from simple_hrnet_tpu.parallel import (data_sharding,
                                                    replicated_sharding)
             repl = replicated_sharding(self.mesh)
             data = data_sharding(self.mesh)
             run = jax.jit(run.__wrapped__,
-                          in_shardings=(repl, repl, data, data))
+                          in_shardings=(repl, repl, repl, repl, repl),
+                          out_shardings=(repl, repl, data, data, data))
         self._crop_jit[key] = run
         return run
+
+    def _run_gathered(self, frames_bgr: np.ndarray, rows, valid,
+                      clamp_hw: Optional[tuple]):
+        """Run the gather-crop pipeline over all detections.
+
+        The first launch uses an optimistic bucket (2 people/frame prior) and
+        carries the total count as an output — in the common case there is
+        exactly one fused launch and one readback, after pose. Overflow
+        people are covered by follow-up launches at offset windows (count
+        now known, standard power-of-two buckets).
+        """
+        n_frames = frames_bgr.shape[0]
+        mult = self.mesh.size if self.mesh else 1
+        frames_dev = frames_bgr if not isinstance(frames_bgr, np.ndarray) \
+            else jax.device_put(np.ascontiguousarray(frames_bgr), self.device)
+
+        bucket0 = _buckets(2 * n_frames, self.max_batch_size, mult)
+        run = self._get_gather_crop(bucket0, clamp_hw)
+        total_d, counts_d, hm, pboxes, pts = run(
+            self.params, frames_dev, rows, valid, np.int32(0))
+        total = int(total_d)  # first host sync — pose already computed
+        counts = np.asarray(counts_d)
+        take = min(bucket0, total)
+        hm_l = [np.asarray(hm)[:take]]
+        box_l = [np.asarray(pboxes)[:take]]
+        pts_l = [np.asarray(pts)[:take]]
+        start = take
+        while start < total:
+            b = _buckets(total - start, self.max_batch_size, mult)
+            run = self._get_gather_crop(b, clamp_hw)
+            _, _, hm, pboxes, pts = run(self.params, frames_dev, rows, valid,
+                                        np.int32(start))
+            take = min(b, total - start)
+            hm_l.append(np.asarray(hm)[:take])
+            box_l.append(np.asarray(pboxes)[:take])
+            pts_l.append(np.asarray(pts)[:take])
+            start += take
+        return (counts, np.concatenate(hm_l), np.concatenate(box_l),
+                np.concatenate(pts_l))
 
     def _get_fused_frame(self, in_hw: Tuple[int, int], max_people: int):
         """The north-star path: detect -> crop -> pose -> decode for one
@@ -426,34 +477,20 @@ class SimpleHRNet:
             return self._assemble(heatmaps, boxes,
                                   np.asarray(pts, np.float32))
 
+        # detection stays on device; _run_gathered fuses crop+pose+decode
+        # with it (the only host sync is AFTER the first pose forward)
         rows, valid = self.detector.detect_padded(
             np.ascontiguousarray(image[..., ::-1])[None])
-        n_people = int(np.asarray(valid[0]).sum())
-        if n_people == 0:
+        counts, hm_all, boxes_all, pts_all = self._run_gathered(
+            image[None], rows, valid, clamp_hw=None)
+        if int(counts[0]) == 0:
             empty_hm = np.zeros((0, self.nof_joints, hm_h, hm_w), np.float32)
             return self._assemble(empty_hm, np.empty((0, 4), np.int32),
                                   np.empty((0, 0, 3), np.float32))
 
-        boxes = np.asarray(rows[0])[:n_people, :4]
-        bucket = _buckets(n_people, self.max_batch_size,
-                          self.mesh.size if self.mesh else 1)
-        hm_list, box_list, pts_list = [], [], []
-        for start in range(0, n_people, bucket):
-            chunk = boxes[start:start + bucket]
-            pad = bucket - chunk.shape[0]
-            chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            run = self._get_crop(bucket)
-            hm, pboxes, pts = run(self.params, image[None],
-                                  np.zeros((bucket,), np.int32), chunk)
-            take = bucket - pad
-            hm_list.append(np.asarray(hm)[:take])
-            box_list.append(np.asarray(pboxes)[:take])
-            pts_list.append(np.asarray(pts)[:take])
-
-        heatmaps = np.transpose(np.concatenate(hm_list), (0, 3, 1, 2))
-        out_boxes = np.concatenate(box_list).astype(np.int32)
-        pts = np.concatenate(pts_list).astype(np.float32)
-        return self._assemble(heatmaps, out_boxes, pts)
+        heatmaps = np.transpose(hm_all, (0, 3, 1, 2))
+        return self._assemble(heatmaps, boxes_all.astype(np.int32),
+                              pts_all.astype(np.float32))
 
     def _predict_batch(self, images: np.ndarray):
         hm_h, hm_w = self.resolution[0] // 4, self.resolution[1] // 4
@@ -469,41 +506,15 @@ class SimpleHRNet:
             pts = np.expand_dims(np.asarray(pts, np.float32), axis=1)
             return self._assemble(heatmaps, boxes, pts)
 
+        # detection stays on device; the gather pipeline compacts all valid
+        # (frame, box) pairs frame-major and fuses crop+pose+decode with it.
+        # reference batch path clamps corrected boxes to the frame and crops
+        # real pixels (SimpleHRNet.py:393-410) -> clamp_hw
         rows, valid = self.detector.detect_padded(
             np.ascontiguousarray(images[..., ::-1]))
-        rows = np.asarray(rows)
-        valid = np.asarray(valid)
-        counts = valid.sum(axis=1).astype(int)
-
-        # flatten (frame, box) pairs
-        frame_idx = np.repeat(np.arange(n_img), counts).astype(np.int32)
-        all_boxes = np.concatenate(
-            [rows[i, :counts[i], :4] for i in range(n_img)], axis=0) \
-            if counts.sum() else np.zeros((0, 4), np.float32)
-
-        total = int(counts.sum())
-        hm_all = np.zeros((total, hm_h, hm_w, self.nof_joints), np.float32)
-        boxes_all = np.zeros((total, 4), np.float32)
-        pts_all = np.zeros((total, self.nof_joints, 3), np.float32)
-        if total:
-            bucket = _buckets(total, self.max_batch_size,
-                              self.mesh.size if self.mesh else 1)
-            for start in range(0, total, bucket):
-                chunk_b = all_boxes[start:start + bucket]
-                chunk_f = frame_idx[start:start + bucket]
-                pad = bucket - chunk_b.shape[0]
-                chunk_b = np.pad(chunk_b, ((0, pad), (0, 0)))
-                chunk_f = np.pad(chunk_f, (0, pad))
-                # reference batch path clamps corrected boxes to the frame
-                # and crops real pixels (SimpleHRNet.py:393-410)
-                run = self._get_crop(
-                    bucket, clamp_hw=(int(images.shape[1]),
-                                      int(images.shape[2])))
-                hm, pboxes, pts = run(self.params, images, chunk_f, chunk_b)
-                take = bucket - pad
-                hm_all[start:start + take] = np.asarray(hm)[:take]
-                boxes_all[start:start + take] = np.asarray(pboxes)[:take]
-                pts_all[start:start + take] = np.asarray(pts)[:take]
+        counts, hm_all, boxes_all, pts_all = self._run_gathered(
+            images, rows, valid,
+            clamp_hw=(int(images.shape[1]), int(images.shape[2])))
 
         # re-split by image (reference SimpleHRNet.py:445-475)
         heatmaps_b, boxes_b, pts_b = [], [], []

@@ -85,6 +85,29 @@ def scale_coords_params(img_size: int, shape_hw: Tuple[int, int]
     return gain, pad_x, pad_y
 
 
+def _chunked_detect(fn, params, frames, max_batch_size: int):
+    """Run the jitted detect over frame chunks of at most ``max_batch_size``
+    (the reference's chunking, YOLOv3.py:128-133). The last chunk is padded
+    up to the full chunk size so only ONE extra compile shape exists; pad
+    rows are sliced off. Single-chunk batches pass straight through.
+    """
+    n = frames.shape[0]
+    if n <= max_batch_size:
+        return fn(params, frames)
+    rows_l, valid_l = [], []
+    for s in range(0, n, max_batch_size):
+        chunk = frames[s:s + max_batch_size]
+        pad = max_batch_size - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate(
+                [jnp.asarray(chunk),
+                 jnp.zeros((pad, *chunk.shape[1:]), jnp.asarray(chunk).dtype)])
+        r, v = fn(params, chunk)
+        rows_l.append(r[:max_batch_size - pad])
+        valid_l.append(v[:max_batch_size - pad])
+    return jnp.concatenate(rows_l), jnp.concatenate(valid_l)
+
+
 class YOLOv3:
     """Person detector with the reference adapter's constructor surface.
 
@@ -129,6 +152,7 @@ class YOLOv3:
         self.nms_thres = nms_thres
         self.img_size = img_size
         self.max_detections = max_detections
+        self.max_batch_size = max(1, max_batch_size)
         self.dtype = dtype
         # class names: default COCO ordering; only used for the person filter
         self.class_ids = (PERSON_CLASS_ID,) if 'person' in classes else tuple(
@@ -196,11 +220,13 @@ class YOLOv3:
 
         return jax.jit(detect) if jit else detect
 
-    def _detect(self, frames_rgb: np.ndarray):
+    def _detect(self, frames_rgb):
         in_hw = frames_rgb.shape[1:3]
         if in_hw not in self._detect_jit:
             self._detect_jit[in_hw] = self._build(in_hw)
-        return self._detect_jit[in_hw](self.params, frames_rgb)
+        fn = self._detect_jit[in_hw]
+        return _chunked_detect(fn, self.params, frames_rgb,
+                               self.max_batch_size)
 
     # -- reference-compatible API ------------------------------------------
 

@@ -291,7 +291,8 @@ class YOLOv5:
 
     def __init__(self, model_def: str = 'yolov5m', device=None, dtype=None,
                  conf_thres: float = 0.5, nms_thres: float = 0.45,
-                 img_size: int = 640, max_detections: int = 32):
+                 img_size: int = 640, max_detections: int = 32,
+                 max_batch_size: int = 16):
         import os
 
         variant = None
@@ -310,6 +311,7 @@ class YOLOv5:
         self.nms_thres = nms_thres
         self.img_size = img_size
         self.max_detections = max_detections
+        self.max_batch_size = max(1, max_batch_size)
         self.dtype = dtype
 
         if weights is not None:
@@ -372,10 +374,13 @@ class YOLOv5:
         return jax.jit(detect) if jit else detect
 
     def _detect(self, frames_rgb):
+        from simple_hrnet_tpu.detectors.yolov3 import _chunked_detect
         in_hw = frames_rgb.shape[1:3]
         if in_hw not in self._detect_jit:
             self._detect_jit[in_hw] = self._build(in_hw)
-        return self._detect_jit[in_hw](self.params, frames_rgb)
+        fn = self._detect_jit[in_hw]
+        return _chunked_detect(fn, self.params, frames_rgb,
+                               self.max_batch_size)
 
     def predict_single(self, image, color_mode: str = 'BGR'):
         return self.predict(image[None], color_mode=color_mode)[0]

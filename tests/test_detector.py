@@ -178,6 +178,22 @@ def test_native_cpp_nms_matches_python(rng):
     assert native_t == pure_t
 
 
+def test_detector_chunking_matches_unchunked(rng):
+    """Batches larger than max_batch_size run in padded chunks with results
+    identical to one unchunked pass (reference YOLOv3.py:128-133)."""
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    frames = rng.uniform(0, 255, (5, 96, 128, 3)).astype(np.uint8)
+    small = YOLOv3(model_def='yolov3-tiny', img_size=160, max_batch_size=2)
+    big = YOLOv3(model_def='yolov3-tiny', img_size=160, max_batch_size=16)
+    # identical random params (both seeded PRNGKey(0))
+    r_small, v_small = small.detect_padded(frames)
+    r_big, v_big = big.detect_padded(frames)
+    np.testing.assert_array_equal(np.asarray(v_small), np.asarray(v_big))
+    np.testing.assert_allclose(np.asarray(r_small), np.asarray(r_big),
+                               atol=1e-5)
+
+
 def test_oks_nms_parity(rng):
     """oks_nms / soft_oks_nms match the reference misc/nms/nms.py outputs."""
     import importlib.util
