@@ -141,7 +141,8 @@ class SimpleHRNet:
 
                     def grouped_apply(bundle, x, dtype=None):
                         return hrnet_fast.apply_grouped(
-                            bundle['p'], bundle['packed'], x, dtype=dtype)
+                            bundle['p'], bundle['packed'], x, dtype=dtype,
+                            fuse_up_pallas=True)
 
                     self._apply = grouped_apply
                 else:

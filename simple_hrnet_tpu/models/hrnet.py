@@ -60,13 +60,17 @@ def _fuse_up(p: Params, x: jnp.ndarray, factor: int, **kw) -> jnp.ndarray:
 
 def apply_stage_module(p: Params, xs: List[jnp.ndarray], n_branches: int,
                        n_out: int, fused_chains: Optional[dict] = None,
+                       fuse_up_pallas: bool = False,
                        **kw) -> List[jnp.ndarray]:
     """One StageModule: per-branch 4x BasicBlock then O(branches^2) fusion.
 
     Reference hrnet.py:55-71. ``fused_chains`` optionally maps
     '<path>.branches.<b>' -> (packed_weights, biases) to route a branch's
     block chain through the Pallas fused kernel (inference fast path,
-    see ops/pallas/fused_block.py and PERF.md).
+    see ops/pallas/fused_block.py and PERF.md). ``fuse_up_pallas`` routes
+    the high-res output's resize-add fusion through the Pallas fuse_up
+    kernel (12x over the XLA fuse at W48 scale — PERF.md; folded-BN
+    inference only).
     """
     path = kw.pop('path', '')
     xs = list(xs)
@@ -90,6 +94,15 @@ def apply_stage_module(p: Params, xs: List[jnp.ndarray], n_branches: int,
     fused = []
     fl = p['fuse_layers']
     for i in range(n_out):
+        if i == 0 and n_branches > 1 and _fuse_up_ok(fl, xs, n_branches,
+                                                     fuse_up_pallas, kw):
+            from simple_hrnet_tpu.ops.pallas.fuse_up import fuse_up
+            srcs = [fl['0'][str(j)]['0'] for j in range(1, n_branches)]
+            fused.append(fuse_up(
+                xs[0], xs[1:n_branches],
+                [s['kernel'] for s in srcs],
+                [s.get('bias', jnp.zeros(xs[0].shape[-1])) for s in srcs]))
+            continue
         acc: Optional[jnp.ndarray] = None
         for j in range(n_branches):
             if i == j:
@@ -105,6 +118,18 @@ def apply_stage_module(p: Params, xs: List[jnp.ndarray], n_branches: int,
     return fused
 
 
+def _fuse_up_ok(fl: Params, xs: List[jnp.ndarray], n_branches: int,
+                enabled: bool, kw: dict) -> bool:
+    """Gate for the Pallas fuse_up path: inference, folded BN, shapes ok."""
+    if not enabled or kw.get('train'):
+        return False
+    for j in range(1, n_branches):
+        if '1' in fl['0'][str(j)]:  # unfolded BN present
+            return False
+    from simple_hrnet_tpu.ops.pallas.fuse_up import fuse_up_supported
+    return fuse_up_supported(xs[0].shape, [x.shape for x in xs[1:n_branches]])
+
+
 def _transition_new_branch(p: Params, x: jnp.ndarray, **kw) -> jnp.ndarray:
     """Double-nested stride-2 conv+BN+ReLU creating a new, lower branch.
 
@@ -118,16 +143,19 @@ def _transition_new_branch(p: Params, x: jnp.ndarray, **kw) -> jnp.ndarray:
 
 def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
           stats: Optional[dict] = None, axis_name: Optional[str] = None,
-          dtype=None, fused_chains: Optional[dict] = None) -> jnp.ndarray:
+          dtype=None, fused_chains: Optional[dict] = None,
+          fuse_up_pallas: bool = False) -> jnp.ndarray:
     """HRNet forward: NHWC in, (N, H/4, W/4, nof_joints) heatmaps out.
 
     Mirrors reference hrnet.py:157-189. ``dtype=jnp.bfloat16`` runs the conv
     stack in bf16 with f32 accumulation (MXU native); the head output is f32.
     ``fused_chains`` (from ``pack_fused_chains``) routes high-res branch
-    block chains through the Pallas fused kernel (inference only).
+    block chains through the Pallas fused kernel (inference only);
+    ``fuse_up_pallas`` does the same for the high-res resize-add fusion.
     """
     kw = dict(train=train, stats=stats, axis_name=axis_name, dtype=dtype)
-    stage_kw = dict(kw, fused_chains=fused_chains)
+    stage_kw = dict(kw, fused_chains=fused_chains,
+                    fuse_up_pallas=fuse_up_pallas)
 
     # Stem: two stride-2 3x3 convs (hrnet.py:79-83) -> H/4.
     x = L.conv_bn(x, params, 'conv1', 'bn1', stride=2, padding=1, act=True, **kw)

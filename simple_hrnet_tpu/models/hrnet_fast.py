@@ -95,7 +95,8 @@ def _ungroup(x: jnp.ndarray, group: int, c: int) -> jnp.ndarray:
 
 def _stage_module_grouped(packed_m: Params, orig_m: Params,
                           xs: List[jnp.ndarray], n_branches: int, n_out: int,
-                          group: int, c_base: int, dtype) -> List[jnp.ndarray]:
+                          group: int, c_base: int, dtype,
+                          fuse_up_pallas: bool = False) -> List[jnp.ndarray]:
     """StageModule on grouped tensors; big-C branches computed ungrouped."""
     kw = dict(train=False, stats=None, axis_name=None, dtype=dtype)
     xs = list(xs)
@@ -115,6 +116,15 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
     fused = []
     fl = packed_m['fuse_layers']
     for i in range(n_out):
+        if i == 0 and n_branches > 1 and hrnet._fuse_up_ok(
+                fl, xs, n_branches, fuse_up_pallas, kw):
+            from simple_hrnet_tpu.ops.pallas.fuse_up import fuse_up
+            srcs = [fl['0'][str(j)]['0'] for j in range(1, n_branches)]
+            fused.append(fuse_up(
+                xs[0], xs[1:n_branches],
+                [s['kernel'] for s in srcs],
+                [s.get('bias', jnp.zeros(xs[0].shape[-1])) for s in srcs]))
+            continue
         acc: Optional[jnp.ndarray] = None
         for j in range(n_branches):
             if i == j:
@@ -130,7 +140,7 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
 
 
 def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
-                  dtype=None) -> jnp.ndarray:
+                  dtype=None, fuse_up_pallas: bool = False) -> jnp.ndarray:
     """Forward with the grouped trunk (pads odd batches internally)."""
     # group is static (derived from shapes, safe under jit tracing)
     c_base = params['transition1']['0']['0']['kernel'].shape[3]
@@ -161,7 +171,8 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
     for m in range(n_mod):
         xs = _stage_module_grouped(packed['stage2'][str(m)],
                                    params['stage2'][str(m)], xs, n_br, n_br,
-                                   group, c_base, dtype)
+                                   group, c_base, dtype,
+                                   fuse_up_pallas=fuse_up_pallas)
     xs = xs + [L.conv_bn(xs[-1], packed['transition2']['2']['0'], '0', '1',
                          stride=2, padding=1, act=True, **kw)]
 
@@ -169,7 +180,8 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
     for m in range(n_mod):
         xs = _stage_module_grouped(packed['stage3'][str(m)],
                                    params['stage3'][str(m)], xs, n_br, n_br,
-                                   group, c_base, dtype)
+                                   group, c_base, dtype,
+                                   fuse_up_pallas=fuse_up_pallas)
     xs = xs + [L.conv_bn(xs[-1], packed['transition3']['3']['0'], '0', '1',
                          stride=2, padding=1, act=True, **kw)]
 
@@ -178,7 +190,8 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
         n_out = 1 if m == n_mod - 1 else n_br
         xs = _stage_module_grouped(packed['stage4'][str(m)],
                                    params['stage4'][str(m)], xs, n_br, n_out,
-                                   group, c_base, dtype)
+                                   group, c_base, dtype,
+                                   fuse_up_pallas=fuse_up_pallas)
 
     out = _ungroup(xs[0], group, c_base).astype(jnp.float32)
     out = L.conv2d(out, params['final_layer'], stride=1, padding=0)

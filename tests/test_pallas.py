@@ -42,7 +42,7 @@ def test_fused_basic_chain_matches_unfused(rng):
     from simple_hrnet_tpu.ops.pallas.fused_block import (fused_basic_chain,
                                                          pack_chain_weights)
 
-    C, H, W, B = 16, 16, 12, 4
+    C, H, W, B = 16, 16, 16, 4
     key = jax.random.PRNGKey(0)
     blocks = []
     for _ in range(4):
@@ -104,6 +104,63 @@ def test_hrnet_apply_with_fused_chains(rng):
     y1 = hrnet.apply(params, x, fused_chains=chains)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fuse_up_kernel_matches_xla_fuse(rng):
+    """Pallas fuse_up == conv1x1 + nearest-upsample + add + relu (f32 exact,
+    interpreter on CPU; compiled parity re-checked on the chip in PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.ops.pallas.fuse_up import fuse_up, fuse_up_supported
+
+    B, H, W, C = 3, 24, 16, 48
+    shapes = [(B, 12, 8, 96), (B, 6, 4, 192), (B, 3, 2, 384)]
+    base = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    ys = [jnp.asarray(rng.standard_normal(s), jnp.float32) for s in shapes]
+    ks = [jnp.asarray(rng.standard_normal((1, 1, s[3], C)) * 0.1, jnp.float32)
+          for s in shapes]
+    bs = [jnp.asarray(rng.standard_normal((C,)), jnp.float32) for _ in shapes]
+    assert fuse_up_supported(base.shape, shapes)
+
+    acc = base
+    for y, k, b in zip(ys, ks, bs):
+        t = jax.lax.conv_general_dilated(
+            y, k, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32) + b
+        acc = acc + L.upsample_nearest(t, H // y.shape[1])
+    ref = np.asarray(jnp.maximum(acc, 0.0))
+
+    got = np.asarray(fuse_up(base, ys, ks, bs))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # unsupported shapes are rejected (W not a multiple of 8 / factor 1)
+    assert not fuse_up_supported((B, 24, 12, C), shapes)
+    assert not fuse_up_supported(base.shape, [(B, 24, 16, 96)])
+
+
+def test_hrnet_apply_with_fuse_up_pallas(rng):
+    """hrnet.apply(fuse_up_pallas=True) == plain apply (f32, CPU), and the
+    flag is a no-op in training mode (unfolded BN)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.models import layers as L
+
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=8,
+                                          nof_joints=5))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    y0 = hrnet.apply(params, x)
+    y1 = hrnet.apply(params, x, fuse_up_pallas=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)
+
+    unfolded = hrnet.init(jax.random.PRNGKey(0), c=8, nof_joints=5)
+    stats = {}
+    out = hrnet.apply(unfolded, x, train=True, stats=stats,
+                      fuse_up_pallas=True)  # must silently fall back
+    assert out.shape == (2, 16, 16, 5)
 
 
 def test_grouped_trunk_matches_plain(rng):
