@@ -54,19 +54,19 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+    # In compute-dtype mode the conv OUTPUT stays in that dtype (the MXU
+    # still accumulates f32 internally); forcing preferred_element_type=f32
+    # there would make the conv TRANSPOSE rule pair an f32 cotangent with a
+    # bf16 kernel — a dtype mismatch that breaks jax.grad in bf16 training.
     out = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if dtype is None else None,
     )
     if 'bias' in p:
         out = out + p['bias'].astype(out.dtype)
-    if dtype is not None:
-        # keep inter-layer activations in the compute dtype (accumulation
-        # stayed f32 inside the MXU); halves HBM traffic in bf16 mode
-        out = out.astype(dtype)
     return out
 
 
@@ -91,7 +91,7 @@ def deconv2d(x: jnp.ndarray, p: Params, *, stride: int = 2, kernel_size: int = 4
         padding=[(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if dtype is None else None,
     )
     if 'bias' in p:
         out = out + p['bias'].astype(out.dtype)

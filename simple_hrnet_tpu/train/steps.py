@@ -17,21 +17,38 @@ import optax
 
 from simple_hrnet_tpu.models import layers as L
 
+import jax.numpy as jnp
+
+
+def _dtype_kw(dtype) -> dict:
+    """Map a dtype spec to the forward kwargs (empty dict = plain f32)."""
+    if dtype is None:
+        return {}
+    if isinstance(dtype, str):
+        dtype = {'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16,
+                 'float32': None, 'f32': None}[dtype]
+    return {} if dtype is None else {'dtype': dtype}
+
 
 def make_train_step(apply_fn: Callable, loss_fn: Callable,
                     optimizer: optax.GradientTransformation,
-                    mesh=None, donate: bool = True) -> Callable:
+                    mesh=None, donate: bool = True, dtype=None) -> Callable:
     """Build the jitted train step.
 
     apply_fn(params, x, train=True, stats=dict) -> heatmaps (NHWC).
     Batch dict: image (N,H,W,C), target (N,h,w,J), target_weight (N,J,1).
-    Returns (params, opt_state, loss, output).
+    ``dtype='bfloat16'``/jnp.bfloat16 runs conv compute in bf16 with f32
+    master params, f32 BN statistics and an f32 loss/head (mixed precision;
+    the reference trains f32-only). Returns (params, opt_state, loss, out).
     """
+    fwd_kw = _dtype_kw(dtype)
 
     def step(params, opt_state, batch):
         def loss_of(p):
             stats: Dict[str, tuple] = {}
-            out = apply_fn(p, batch['image'], train=True, stats=stats)
+            out = apply_fn(p, batch['image'], train=True, stats=stats,
+                           **fwd_kw)
+            out = out.astype(jnp.float32)
             loss = loss_fn(out, batch['target'], batch['target_weight'])
             return loss, (out, stats)
 
@@ -57,16 +74,19 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
 
 
 def make_eval_step(apply_fn: Callable, loss_fn: Callable,
-                   flip_pairs=None, mesh=None) -> Callable:
+                   flip_pairs=None, mesh=None, dtype=None) -> Callable:
     """Eval step with optional flip-test averaging (Test.py:134-141)."""
+    fwd_kw = _dtype_kw(dtype)
 
     def step(params, batch):
-        out = apply_fn(params, batch['image'], train=False)
+        out = apply_fn(params, batch['image'], train=False, **fwd_kw)
+        out = out.astype(jnp.float32)
         if flip_pairs is not None:
             from simple_hrnet_tpu.ops import decode as D
             flipped_in = batch['image'][:, :, ::-1, :]
-            out_f = apply_fn(params, flipped_in, train=False)
-            out = D.flip_test_average(out, out_f, flip_pairs)
+            out_f = apply_fn(params, flipped_in, train=False, **fwd_kw)
+            out = D.flip_test_average(out.astype(jnp.float32),
+                                      out_f.astype(jnp.float32), flip_pairs)
         loss = loss_fn(out, batch['target'], batch['target_weight'])
         return loss, out
 

@@ -58,7 +58,8 @@ class Train:
                  mesh=None,
                  seed: int = 0,
                  resume_dir: Optional[str] = None,
-                 debug_nans: bool = False):
+                 debug_nans: bool = False,
+                 dtype: Optional[str] = None):
         self.exp_name = exp_name
         self.ds_train = ds_train
         self.ds_val = ds_val
@@ -147,13 +148,16 @@ class Train:
             self.epoch = (cfg or {}).get('epoch', step or 0)
             print(f'Resuming from epoch {self.epoch}')
 
+        # bf16 conv compute with f32 master params when dtype='bfloat16';
+        # donated buffers let XLA update params/opt_state in place
         self._train_step = steps_mod.make_train_step(
             self.apply_fn, self.loss_fn, self.optimizer, mesh=mesh,
-            donate=False)
+            donate=True, dtype=dtype)
         flip_pairs = getattr(ds_val, 'flip_pairs', None) \
             if flip_test_images else None
         self._eval_step = steps_mod.make_eval_step(
-            self.apply_fn, self.loss_fn, flip_pairs=flip_pairs, mesh=mesh)
+            self.apply_fn, self.loss_fn, flip_pairs=flip_pairs, mesh=mesh,
+            dtype=dtype)
 
         if mesh is not None:
             from simple_hrnet_tpu.parallel import replicate

@@ -196,6 +196,39 @@ def test_coco_ap_analytic_case(rng):
     np.testing.assert_allclose(ar, 2 / 3, atol=1e-6)
 
 
+def test_bf16_train_step_loss_parity(rng):
+    """Mixed-precision (bf16 compute / f32 master) step: loss matches the
+    f32 step within bf16 tolerance, params stay f32 and finite."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.train import losses, steps
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=8, nof_joints=17)
+    opt = steps.make_optimizer('SGD', lr=1e-3, momentum=0.9)
+    batch = {
+        'image': rng.standard_normal((2, 64, 64, 3)).astype(np.float32),
+        'target': rng.uniform(0, 1, (2, 16, 16, 17)).astype(np.float32),
+        'target_weight': np.ones((2, 17, 1), np.float32),
+    }
+
+    outs = {}
+    for tag, dt in (('f32', None), ('bf16', 'bfloat16')):
+        step = steps.make_train_step(hrnet.apply, losses.joints_mse_loss,
+                                     opt, donate=False, dtype=dt)
+        p, _, loss, out = step(params, opt.init(params), batch)
+        outs[tag] = (float(loss), p)
+        assert out.dtype == jnp.float32
+
+    l32, p32 = outs['f32']
+    l16, p16 = outs['bf16']
+    assert abs(l16 - l32) / max(abs(l32), 1e-8) < 2e-2
+    leaf = jax.tree_util.tree_leaves(p16)[0]
+    assert leaf.dtype == jnp.float32  # master params stay f32
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(p16))
+
+
 def test_weight_decay_skips_bn_running_stats():
     """Running mean/var are torch *buffers* — the reference optimizer never
     decays them. Zero grads + wd>0 must leave them bit-identical while
