@@ -181,15 +181,26 @@ class COCODataset(HumanPoseEstimationDataset):
 
         joints_data = dict(self.data[index])
         jpeg_bytes = None
+        image = None
+        fused_hw = None  # (img_w, img_h): fused native path, image undecoded
         if self.use_native_decode:
             from simple_hrnet_tpu.data import native as native_img
             with open(joints_data['imgPath'], 'rb') as f:
                 jpeg_bytes = f.read()
-            image = native_img.decode_jpeg_rgb(jpeg_bytes)
-            if image is None:
-                raise ValueError('Fail to read %s' % joints_data['imgPath'])
-            if not self.color_rgb:
-                image = image[..., ::-1]
+            dims = native_img.jpeg_dims(jpeg_bytes) if self.color_rgb \
+                else None
+            if dims is not None:
+                # fused JPEG->warp->normalize: ONE C call produces the
+                # network-ready array; flip folds into the warp matrix, so
+                # no intermediate decoded image exists at the Python level
+                fused_hw = dims
+            else:
+                image = native_img.decode_jpeg_rgb(jpeg_bytes)
+                if image is None:
+                    raise ValueError('Fail to read %s'
+                                     % joints_data['imgPath'])
+                if not self.color_rgb:
+                    image = image[..., ::-1]
         else:
             image = cv2.imread(joints_data['imgPath'],
                                cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
@@ -222,23 +233,47 @@ class COCODataset(HumanPoseEstimationDataset):
             else:
                 r = 0
             if self.flip_prob and random.random() < self.flip_prob:
-                image = image[:, ::-1, :]
+                img_w = fused_hw[0] if fused_hw is not None \
+                    else image.shape[1]
+                flipped = True
+                if fused_hw is None:
+                    image = image[:, ::-1, :]
                 joints, joints_vis = fliplr_joints(
-                    joints, joints_vis, image.shape[1], self.flip_pairs)
-                c[0] = image.shape[1] - c[0] - 1
+                    joints, joints_vis, img_w, self.flip_pairs)
+                c[0] = img_w - c[0] - 1
+            else:
+                flipped = False
+        else:
+            flipped = False
 
         trans = affine.affine_matrix(c, s, r, self.image_size, self.pixel_std)
-        image = cv2.warpAffine(
-            image, trans,
-            (int(self.image_size[0]), int(self.image_size[1])),
-            flags=cv2.INTER_LINEAR)
+        if fused_hw is not None:
+            from simple_hrnet_tpu.data import native as native_img
+            m_inv = affine.affine_matrix(c, s, r, self.image_size,
+                                         self.pixel_std, inv=True)
+            if flipped:
+                # compose the horizontal flip into the dst->src map:
+                # src_x_original = (W - 1) - src_x_flipped
+                m_inv = np.stack([
+                    np.asarray([-m_inv[0, 0], -m_inv[0, 1],
+                                fused_hw[0] - 1 - m_inv[0, 2]], np.float32),
+                    m_inv[1].astype(np.float32)])
+            image = native_img.decode_warp_normalize(
+                jpeg_bytes, m_inv, int(self.image_size[1]),
+                int(self.image_size[0]), IMAGENET_MEAN, IMAGENET_STD)
+            if image is None:
+                raise ValueError('Fail to read %s' % joints_data['imgPath'])
+        else:
+            image = cv2.warpAffine(
+                image, trans,
+                (int(self.image_size[0]), int(self.image_size[1])),
+                flags=cv2.INTER_LINEAR)
+            image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                     / IMAGENET_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:
                 joints[i, 0:2] = affine.apply_affine(joints[i, 0:2], trans)
-
-        image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                 / IMAGENET_STD)
 
         target, target_weight = target_gen.generate_target(
             joints, joints_vis, self.heatmap_size, self.image_size,

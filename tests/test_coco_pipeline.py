@@ -262,18 +262,27 @@ def test_native_decode_path_matches_cv2(mini_coco):
 
 
 def test_native_decode_with_flip_augmentation(mini_coco):
-    """The flipped-augmentation branch of the native path stays finite and
-    correctly shaped (warps the decoded flipped array)."""
+    """Fused native path with flip folded into the warp matrix == the cv2
+    path with identical augmentation draws (seeded python RNG)."""
+    import random
     from simple_hrnet_tpu.data import native as native_img
     if not native_img.available():
         pytest.skip('libimgproc.so not built')
 
     from simple_hrnet_tpu.data.coco import COCODataset
 
-    ds = COCODataset(root_path=mini_coco, data_version='train2017',
-                     is_train=True, image_width=64, image_height=64,
-                     flip_prob=1.0, rotate_prob=0.0, half_body_prob=0.0,
-                     use_native_decode=True)
-    img, tgt, tw, meta = ds[0]
+    kwargs = dict(root_path=mini_coco, data_version='train2017',
+                  is_train=True, image_width=64, image_height=64,
+                  flip_prob=1.0, rotate_prob=1.0, half_body_prob=0.0)
+    ds_nat = COCODataset(use_native_decode=True, **kwargs)
+    ds_cv = COCODataset(**kwargs)
+
+    random.seed(7)
+    img, tgt, tw, meta = ds_nat[0]
+    random.seed(7)
+    img_cv, tgt_cv, tw_cv, meta_cv = ds_cv[0]
     assert img.shape == (64, 64, 3)
     assert np.isfinite(img).all()
+    assert np.abs(img - img_cv).mean() < 0.02  # sub-LSB decode/interp diffs
+    np.testing.assert_allclose(tgt, tgt_cv, atol=1e-6)
+    np.testing.assert_allclose(meta['joints'], meta_cv['joints'], atol=1e-4)
