@@ -2,11 +2,15 @@
 COCO keypoint AP evaluator (OKS-based, pycocotools-compatible protocol).
 
 The reference depends on pycocotools' COCOeval (datasets/COCO.py:574-588);
-this environment does not ship it, so ``coco_eval`` below implements the
-COCO keypoint evaluation protocol natively (OKS similarity matrix, greedy
-matching by score with crowd handling omitted as the reference filters
-iscrowd, 101-point interpolated AP over OKS thresholds .5:.05:.95). When
-pycocotools IS available it is used instead for bit-identical numbers.
+this environment does not ship it (nowhere on disk, zero egress), so
+``coco_keypoint_ap`` implements the COCO keypoint protocol natively with
+COCOeval's exact semantics: OKS similarity (computeOks), greedy matching by
+score with crowd re-matching and ignored-GT handling, detection-area
+ignores, 101-point interpolated AP over OKS .5:.05:.95, AR = recall @
+maxDets. Pinned by hand-computed analytic fixtures
+(tests/test_train_components.py) — a recorded pycocotools fixture should
+replace them the moment any machine with pycocotools can produce one. When
+pycocotools IS importable it is used instead for bit-identical numbers.
 """
 
 from __future__ import annotations
@@ -89,73 +93,117 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
                      oks_thresholds: Optional[np.ndarray] = None,
                      area_range: Tuple[float, float] = (0, float('inf')),
                      max_dets: int = 20) -> Tuple[float, float, np.ndarray]:
-    """COCO-protocol keypoint AP/AR.
+    """COCO-protocol keypoint AP/AR, matching COCOeval's algorithm exactly:
+
+      * GTs are IGNORED (not removed) when crowd, keypoint-less, or outside
+        the area range [a0, a1] (closed interval, COCOeval evaluateImg);
+        ignored GTs don't count toward recall and detections matched to
+        them are excluded from both TP and FP.
+      * Matching (per OKS threshold, detections in score order): best
+        still-unmatched GT with OKS >= min(thr, 1-1e-10); crowd GTs are
+        re-matchable; once a regular match exists, ignored GTs (sorted
+        last) are not considered.
+      * Unmatched detections whose own area lies outside the range are
+        ignored rather than counted as false positives.
+      * AP = mean of 101-point interpolated precision; AR = recall at
+        maxDets (COCOeval accumulate: rc[-1]).
 
     gts/dts: imgId -> list of {'keypoints': (J,3), 'area': float,
-    'score': float (dts only)}. Returns (AP, AR, per-threshold AP array).
+    'iscrowd': optional bool, 'score': float (dts only)}. Returns
+    (AP, AR, per-threshold AP array); (-1, -1, -1s) when no evaluable GT
+    exists (COCOeval's empty-category convention).
     """
     if oks_thresholds is None:
         oks_thresholds = np.linspace(0.5, 0.95, 10)
     t_count = len(oks_thresholds)
 
-    all_matches = []   # (score, is_tp per threshold)
+    scores: List[float] = []
+    tp_rows: List[np.ndarray] = []       # (T,) matched-to-regular-gt
+    ig_rows: List[np.ndarray] = []       # (T,) ignored detection
     total_gt = 0
     img_ids = set(gts) | set(dts)
     for img in img_ids:
-        gt_list = [g for g in gts.get(img, [])
-                   if area_range[0] <= g['area'] < area_range[1]
-                   and np.count_nonzero(np.asarray(g['keypoints'])[:, 2]) > 0]
+        gt_all = list(gts.get(img, []))
+        gt_ig = []
+        for g in gt_all:
+            kp = np.asarray(g['keypoints'])
+            ig = bool(g.get('iscrowd')) or \
+                np.count_nonzero(kp[:, 2] > 0) == 0 or \
+                g['area'] < area_range[0] or g['area'] > area_range[1]
+            gt_ig.append(ig)
+        order = sorted(range(len(gt_all)), key=lambda i: gt_ig[i])  # regular 1st
+        gt_all = [gt_all[i] for i in order]
+        gt_ig = np.asarray([gt_ig[i] for i in order], bool)
+        gt_crowd = np.asarray([bool(g.get('iscrowd')) for g in gt_all])
+        total_gt += int((~gt_ig).sum())
+
         dt_list = sorted(dts.get(img, []), key=lambda d: -d['score'])[:max_dets]
-        total_gt += len(gt_list)
         if not dt_list:
             continue
-        if not gt_list:
-            for d in dt_list:
-                all_matches.append((d['score'], np.zeros(t_count, bool)))
-            continue
-        dt_kpts = np.stack([np.asarray(d['keypoints'], np.float64)
-                            for d in dt_list])
-        ious = np.stack([compute_oks(np.asarray(g['keypoints'], np.float64),
-                                     g['area'], dt_kpts) for g in gt_list])
-        # greedy match per threshold: detections by score, each takes the
-        # best still-unmatched gt with iou >= threshold
-        tp = np.zeros((len(dt_list), t_count), bool)
+        n_dt, n_gt = len(dt_list), len(gt_all)
+        dt_out = np.asarray([d['area'] < area_range[0] or
+                             d['area'] > area_range[1] for d in dt_list])
+        if n_gt:
+            dt_kpts = np.stack([np.asarray(d['keypoints'], np.float64)
+                                for d in dt_list])
+            ious = np.stack([compute_oks(
+                np.asarray(g['keypoints'], np.float64), g['area'], dt_kpts)
+                for g in gt_all]).T                      # (D, G)
+        tp = np.zeros((n_dt, t_count), bool)
+        ig = np.zeros((n_dt, t_count), bool)
         for ti, thr in enumerate(oks_thresholds):
-            gt_used = np.zeros(len(gt_list), bool)
-            for di in range(len(dt_list)):
-                best, best_iou = -1, thr
-                for gi in range(len(gt_list)):
-                    if gt_used[gi]:
+            gt_matched = np.full(n_gt, -1)
+            for di in range(n_dt):
+                iou = min(thr, 1 - 1e-10)
+                m = -1
+                for gi in range(n_gt):
+                    if gt_matched[gi] >= 0 and not gt_crowd[gi]:
                         continue
-                    if ious[gi, di] >= best_iou:
-                        best, best_iou = gi, ious[gi, di]
-                if best >= 0:
-                    gt_used[best] = True
-                    tp[di, ti] = True
+                    if m >= 0 and not gt_ig[m] and gt_ig[gi]:
+                        break  # regular match in hand; rest are ignored
+                    if ious[di, gi] < iou:
+                        continue
+                    iou = ious[di, gi]
+                    m = gi
+                if m >= 0:
+                    gt_matched[m] = di
+                    ig[di, ti] = gt_ig[m]
+                    tp[di, ti] = not gt_ig[m]
+                else:
+                    ig[di, ti] = dt_out[di]  # unmatched + out-of-range area
         for di, d in enumerate(dt_list):
-            all_matches.append((d['score'], tp[di]))
+            scores.append(float(d['score']))
+            tp_rows.append(tp[di])
+            ig_rows.append(ig[di])
 
-    if total_gt == 0 or not all_matches:
+    if total_gt == 0:
+        return -1.0, -1.0, np.full(t_count, -1.0)
+    if not scores:
         return 0.0, 0.0, np.zeros(t_count)
 
-    all_matches.sort(key=lambda m: -m[0])
-    tps = np.stack([m[1] for m in all_matches])  # (D, T)
-    cum_tp = np.cumsum(tps, axis=0).astype(np.float64)
-    ranks = np.arange(1, tps.shape[0] + 1)[:, None]
-    precision = cum_tp / ranks
-    recall = cum_tp / total_gt
+    order = np.argsort(-np.asarray(scores), kind='mergesort')
+    tps = np.stack(tp_rows)[order]       # (D, T)
+    igs = np.stack(ig_rows)[order]
 
-    # 101-point interpolated AP (COCOeval protocol)
     recall_thrs = np.linspace(0, 1, 101)
     ap_per_t = np.zeros(t_count)
+    ar_per_t = np.zeros(t_count)
     for ti in range(t_count):
-        p = precision[:, ti].copy()
+        keep = ~igs[:, ti]
+        tp_t = tps[keep, ti].astype(np.float64)
+        if tp_t.size == 0:
+            continue
+        cum_tp = np.cumsum(tp_t)
+        cum_fp = np.cumsum(1.0 - tp_t)
+        precision = cum_tp / (cum_tp + cum_fp + np.spacing(1))
+        recall = cum_tp / total_gt
+        ar_per_t[ti] = recall[-1]
+        p = precision.copy()
         for i in range(len(p) - 1, 0, -1):
             p[i - 1] = max(p[i - 1], p[i])
-        idx = np.searchsorted(recall[:, ti], recall_thrs, side='left')
+        idx = np.searchsorted(recall, recall_thrs, side='left')
         prec_at = np.where(idx < len(p), p[np.minimum(idx, len(p) - 1)], 0)
         ap_per_t[ti] = prec_at.mean()
-    ar_per_t = recall[-1]
     return float(ap_per_t.mean()), float(ar_per_t.mean()), ap_per_t
 
 
@@ -177,10 +225,13 @@ def coco_eval_from_results(gt_annotations: dict, results: List[dict]
 
     gts: Dict[int, List[dict]] = defaultdict(list)
     for ann in gt_annotations.get('annotations', []):
-        if ann.get('category_id') != 1 or ann.get('iscrowd'):
+        if ann.get('category_id') != 1:
             continue
+        # crowd / keypoint-less GTs are kept as IGNORED entries (COCOeval
+        # semantics), never silently dropped
         kp = np.asarray(ann['keypoints'], np.float64).reshape(-1, 3)
-        gts[ann['image_id']].append({'keypoints': kp, 'area': ann['area']})
+        gts[ann['image_id']].append({'keypoints': kp, 'area': ann['area'],
+                                     'iscrowd': bool(ann.get('iscrowd'))})
 
     dts: Dict[int, List[dict]] = defaultdict(list)
     for res in results:
@@ -189,25 +240,29 @@ def coco_eval_from_results(gt_annotations: dict, results: List[dict]
             {'keypoints': kp, 'score': float(res['score']),
              'area': _kpt_area(kp)})
 
+    # COCOeval keypoint area ranges: all [0, 1e10], M [32^2, 96^2],
+    # L [96^2, 1e10] (cocoeval.py Params.setKpParams)
     med = (32 ** 2, 96 ** 2)
+    big = (96 ** 2, 1e5 ** 2)
     thrs = np.linspace(0.5, 0.95, 10)
-    ap, ar, ap_t = coco_keypoint_ap(gts, dts, thrs)
-    ap_m, ar_m, _ = coco_keypoint_ap(gts, dts, thrs, area_range=(med[0], med[1]))
-    ap_l, ar_l, _ = coco_keypoint_ap(gts, dts, thrs, area_range=(med[1], float('inf')))
-    ap50, ar50, _ = coco_keypoint_ap(gts, dts, np.asarray([0.5]))
-    ap75, ar75, _ = coco_keypoint_ap(gts, dts, np.asarray([0.75]))
+    ap, ar, ap_t = coco_keypoint_ap(gts, dts, thrs, area_range=(0, 1e5 ** 2))
+    ap_m, ar_m, _ = coco_keypoint_ap(gts, dts, thrs, area_range=med)
+    ap_l, ar_l, _ = coco_keypoint_ap(gts, dts, thrs, area_range=big)
+    ap50, ar50, _ = coco_keypoint_ap(gts, dts, np.asarray([0.5]),
+                                     area_range=(0, 1e5 ** 2))
+    ap75, ar75, _ = coco_keypoint_ap(gts, dts, np.asarray([0.75]),
+                                     area_range=(0, 1e5 ** 2))
     return {'AP': ap, 'Ap .5': ap50, 'AP .75': ap75, 'AP (M)': ap_m,
             'AP (L)': ap_l, 'AR': ar, 'AR .5': ar50, 'AR .75': ar75,
             'AR (M)': ar_m, 'AR (L)': ar_l}
 
 
 def _kpt_area(kp: np.ndarray) -> float:
-    vis = kp[kp[:, 2] > 0]
-    if len(vis) < 2:
-        return 1.0
-    w = vis[:, 0].max() - vis[:, 0].min()
-    h = vis[:, 1].max() - vis[:, 1].min()
-    return float(max(w * h, 1.0))
+    """Detection area, pycocotools loadRes semantics for keypoint results:
+    bbox of ALL keypoint coordinates (visibility ignored)."""
+    x0, x1 = kp[:, 0].min(), kp[:, 0].max()
+    y0, y1 = kp[:, 1].min(), kp[:, 1].max()
+    return float((x1 - x0) * (y1 - y0))
 
 
 def _pycocotools_eval(gt_annotations: dict, results: List[dict]):

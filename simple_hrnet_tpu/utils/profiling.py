@@ -71,9 +71,9 @@ def device_timer(fn: Callable, *args, iters_lo: int = 2, iters_hi: int = 12,
 
     x0, rest = args[0], args[1:]
 
-    def chained(v, iters):
+    def chained(v, r, iters):
         def body(carry, _):
-            y = fn(carry, *rest)
+            y = fn(carry, *r)
             leaf = jax.tree_util.tree_leaves(y)[0]
             return (carry + jnp.mean(leaf).astype(carry.dtype) * 1e-9,
                     jnp.mean(leaf))
@@ -82,12 +82,15 @@ def device_timer(fn: Callable, *args, iters_lo: int = 2, iters_hi: int = 12,
 
     times = {}
     for iters in (iters_lo, iters_hi):
-        f = jax.jit(lambda v, n=iters: chained(v, n))
-        float(f(x0))  # compile + warm
+        # NOTE: ``rest`` (weights etc) must travel as jit ARGUMENTS —
+        # closing over large arrays bakes them into the HLO as constants
+        # and the remote compiler rejects the body with HTTP 413
+        f = jax.jit(lambda v, *r, n=iters: chained(v, r, n))
+        float(f(x0, *rest))  # compile + warm
         best = float('inf')
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(f(x0))
+            float(f(x0, *rest))
             best = min(best, time.perf_counter() - t0)
         times[iters] = best
     return (times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo)

@@ -196,6 +196,97 @@ def test_coco_ap_analytic_case(rng):
     np.testing.assert_allclose(ar, 2 / 3, atol=1e-6)
 
 
+def _person_kp(x0, y0, area=80 * 80):
+    kp = np.zeros((17, 3))
+    kp[:, 0] = x0 + np.arange(17) * 3
+    kp[:, 1] = y0 + np.arange(17) * 2
+    kp[:, 2] = 2
+    return kp
+
+
+def test_coco_ap_ignore_semantics():
+    """COCOeval semantics: a detection matched to an IGNORED gt (out of the
+    area range / crowd / keypoint-less) is excluded from TP AND FP — not a
+    false positive. Hand-computed: with the high-scoring ignored-matched
+    detection excluded, the ranked list is [TP .9, FP .7] -> AP 1.0; the
+    old remove-the-gt semantics would rank [FP .95, TP .9, FP .7] -> 0.5."""
+    from simple_hrnet_tpu.utils import metrics as M
+
+    area_rng = (1000, 10000)
+    gts = {0: [{'keypoints': _person_kp(50, 50), 'area': 6400},
+               {'keypoints': _person_kp(300, 300), 'area': 50000}]}  # ignored
+    dts = {0: [{'keypoints': _person_kp(300, 300), 'score': 0.95,
+                'area': 6400},                       # matches ignored gt
+               {'keypoints': _person_kp(50, 50), 'score': 0.9,
+                'area': 6400},                       # TP
+               {'keypoints': _person_kp(700, 700), 'score': 0.7,
+                'area': 6400}]}                      # FP
+    ap, ar, _ = M.coco_keypoint_ap(gts, dts, np.asarray([0.5]),
+                                   area_range=area_rng)
+    np.testing.assert_allclose(ap, 1.0, atol=1e-9)
+    np.testing.assert_allclose(ar, 1.0, atol=1e-9)
+
+    # unmatched detection whose own area is outside the range -> ignored
+    dts_out = {0: [{'keypoints': _person_kp(50, 50), 'score': 0.9,
+                    'area': 6400},
+                   {'keypoints': _person_kp(700, 700), 'score': 0.95,
+                    'area': 50000}]}                 # garbage, out of range
+    ap2, _, _ = M.coco_keypoint_ap(gts, dts_out, np.asarray([0.5]),
+                                   area_range=area_rng)
+    np.testing.assert_allclose(ap2, 1.0, atol=1e-9)
+
+    # crowd gts are ignored AND re-matchable; keypoint-less gts ignored
+    gts_c = {0: [{'keypoints': _person_kp(50, 50), 'area': 6400},
+                 {'keypoints': _person_kp(50, 52), 'area': 6400,
+                  'iscrowd': True},
+                 {'keypoints': np.zeros((17, 3)), 'area': 6400}]}
+    dts_c = {0: [{'keypoints': _person_kp(50, 50), 'score': 0.9,
+                  'area': 6400},
+                 {'keypoints': _person_kp(50, 52), 'score': 0.8,
+                  'area': 6400},
+                 {'keypoints': _person_kp(50, 52), 'score': 0.7,
+                  'area': 6400}]}  # both extra dts soak into the crowd
+    ap3, ar3, _ = M.coco_keypoint_ap(gts_c, dts_c, np.asarray([0.5]),
+                                     area_range=area_rng)
+    np.testing.assert_allclose(ap3, 1.0, atol=1e-9)
+    np.testing.assert_allclose(ar3, 1.0, atol=1e-9)
+
+    # no evaluable gt -> -1 (COCOeval empty-category convention)
+    ap4, ar4, _ = M.coco_keypoint_ap({0: []}, dts, np.asarray([0.5]))
+    assert ap4 == -1.0 and ar4 == -1.0
+
+
+def test_coco_ap_area_splits_and_dt_area():
+    """AP(M)/AP(L): each split ignores the other split's gts AND their
+    matched detections (both splits evaluate to a clean 1.0); detection
+    area follows pycocotools loadRes (bbox of ALL keypoints)."""
+    from simple_hrnet_tpu.utils import metrics as M
+
+    small = _person_kp(10, 10)    # kp bbox 48x32 = 1536 (medium range)
+    big = _person_kp(300, 300)
+    gt_ann = {'annotations': [
+        {'image_id': 0, 'category_id': 1, 'iscrowd': 0,
+         'keypoints': small.flatten().tolist(), 'area': 2500},      # medium
+        {'image_id': 0, 'category_id': 1, 'iscrowd': 0,
+         'keypoints': big.flatten().tolist(), 'area': 40000}]}      # large
+    results = [
+        {'image_id': 0, 'category_id': 1, 'score': 0.9,
+         'keypoints': small.flatten().tolist()},
+        {'image_id': 0, 'category_id': 1, 'score': 0.8,
+         'keypoints': big.flatten().tolist()}]
+    stats = M.coco_eval_from_results(gt_ann, results)
+    np.testing.assert_allclose(stats['AP'], 1.0, atol=1e-9)
+    np.testing.assert_allclose(stats['AP (M)'], 1.0, atol=1e-9)
+    np.testing.assert_allclose(stats['AP (L)'], 1.0, atol=1e-9)
+    np.testing.assert_allclose(stats['AR (M)'], 1.0, atol=1e-9)
+
+    # _kpt_area: bbox over ALL kpts, visibility ignored (loadRes)
+    kp = np.zeros((17, 3))
+    kp[0] = (0, 0, 0)
+    kp[1] = (10, 20, 0)
+    assert M._kpt_area(kp) == 200.0
+
+
 def test_bf16_train_step_loss_parity(rng):
     """Mixed-precision (bf16 compute / f32 master) step: loss matches the
     f32 step within bf16 tolerance, params stay f32 and finite."""
