@@ -34,10 +34,20 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
     if isinstance(image_resolution, str):
         image_resolution = ast.literal_eval(image_resolution)
 
+    # camera source: vidgear CamGear when available and not disabled
+    # (reference live-demo.py:41-45); files always use cv2.VideoCapture
     rotation_code = None
+    video_source = None
+    vidgear_stream = None
     if filename is not None:
         rotation_code = check_video_rotation(filename)
         video_source = cv2.VideoCapture(filename)
+    elif not disable_vidgear:
+        try:
+            from vidgear.gears import CamGear
+            vidgear_stream = CamGear(camera_id).start()
+        except ImportError:  # vidgear not installed — plain capture
+            video_source = cv2.VideoCapture(camera_id)
     else:
         video_source = cv2.VideoCapture(camera_id)
 
@@ -57,7 +67,11 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
     def frame_gen():
         i = 0
         while max_frames is None or i < max_frames:
-            ret, f = video_source.read()
+            if vidgear_stream is not None:
+                f = vidgear_stream.read()
+                ret = f is not None
+            else:
+                ret, f = video_source.read()
             if not ret:
                 return
             if rotation_code is not None:
@@ -139,7 +153,10 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
 
     if video_writer is not None:
         video_writer.release()
-    video_source.release()
+    if vidgear_stream is not None:
+        vidgear_stream.stop()
+    else:
+        video_source.release()
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -201,9 +201,23 @@ def oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None):
     return keep
 
 
+def rescore(overlap, scores, thresh, type='gaussian'):
+    """Soft-NMS rescoring (misc/nms/nms.py:125-134): 'gaussian' decays all
+    scores by exp(-oks^2/thresh); 'linear' scales only overlaps >= thresh
+    by (1 - oks). Mutates ``scores`` in the linear branch, as the reference
+    does."""
+    assert overlap.shape[0] == scores.shape[0]
+    if type == 'linear':
+        inds = np.where(overlap >= thresh)[0]
+        scores[inds] = scores[inds] * (1 - overlap[inds])
+    else:
+        scores = scores * np.exp(-overlap ** 2 / thresh)
+    return scores
+
+
 def soft_oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None,
-                 max_dets: int = 20):
-    """Soft OKS-NMS with gaussian rescoring (misc/nms/nms.py:138-177)."""
+                 max_dets: int = 20, rescore_type: str = 'gaussian'):
+    """Soft OKS-NMS (misc/nms/nms.py:136-177) with both rescore modes."""
     if len(kpts_db) == 0:
         return []
     scores = np.array([k['score'] for k in kpts_db])
@@ -219,7 +233,7 @@ def soft_oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None,
         ovr = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]],
                       sigmas, in_vis_thre)
         order = order[1:]
-        scores = scores[1:] * np.exp(-ovr ** 2 / thresh)  # gaussian rescore
+        scores = rescore(ovr, scores[1:], thresh, type=rescore_type)
         tmp = scores.argsort()[::-1]
         order = order[tmp]
         scores = scores[tmp]

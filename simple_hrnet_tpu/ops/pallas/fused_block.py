@@ -98,25 +98,36 @@ def pack_chain_weights(block_params: list, dtype=jnp.bfloat16,
     return jnp.asarray(w, dtype), jnp.asarray(b, jnp.float32)
 
 
-def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, acc_ref, res_ref):
+def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, shl_ref, shr_ref,
+                  res_ref):
     """One grid step = one packed image-pair; refs are (1, H, W, 2C).
 
-    NOTE: pre-shifting the W axis into 3 buffers (to cut the 9 sublane
-    relayouts to 3) blows the 16MB scoped-VMEM budget at 96x72x96; the
-    per-tap slice version below fits and works. See PERF.md for the
-    measured standings and next steps.
+    Layout strategy (the round-1 version lost to XLA because all 9 per-tap
+    slices of the padded scratch were SUBLANE-OFFSET reads, each forcing a
+    Mosaic relayout): content lives at column 0 of an 8-aligned buffer, and
+    the two x-shifted views are PRE-SHIFTED into dedicated buffers — 2
+    misaligned copies per conv instead of 6 misaligned taps, every other
+    read/store aligned. Row (ky) offsets are major-dim and free.
     """
     _, h, w_dim, c2 = out_ref.shape
 
-    def conv3x3(src, conv_idx, residual=None):
-        # zero-pad into scratch
-        xp_ref[:] = jnp.zeros_like(xp_ref)
-        xp_ref[1:h + 1, 1:w_dim + 1, :] = src
+    # zero once: borders (row 0 / h+1, the shl zero column, the alignment
+    # tail) stay zero forever — later writes touch content regions only
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xp_ref[:] = jnp.zeros(xp_ref.shape, xp_ref.dtype)
+        shl_ref[:] = jnp.zeros(shl_ref.shape, shl_ref.dtype)
+        shr_ref[:] = jnp.zeros(shr_ref.shape, shr_ref.dtype)
+
+    def conv3x3(conv_idx, residual):
+        # pre-shift the two x-offset views (the only misaligned ops)
+        shl_ref[1:h + 1, 1:w_dim + 1] = xp_ref[1:h + 1, 0:w_dim]
+        shr_ref[1:h + 1, 0:w_dim] = xp_ref[1:h + 1, 1:w_dim + 1]
         acc = jnp.broadcast_to(b_ref[conv_idx, :], (h, w_dim, c2)).astype(
             jnp.float32)
         for ky in range(3):
-            for kx in range(3):
-                tap = xp_ref[ky:ky + h, kx:kx + w_dim, :]
+            for kx, src in ((0, shl_ref), (1, xp_ref), (2, shr_ref)):
+                tap = src[ky:ky + h, 0:w_dim, :]
                 acc = acc + jax.lax.dot_general(
                     tap, w_ref[conv_idx, ky, kx],
                     (((2,), (0,)), ((), ())),
@@ -126,12 +137,15 @@ def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, acc_ref, res_ref):
         return jnp.maximum(acc, 0.0)
 
     # 4 BasicBlocks: conv1 -> relu -> conv2 (+residual) -> relu
+    xp_ref[1:h + 1, 0:w_dim] = x_ref[0]
     res_ref[:] = x_ref[0]
     for blk in range(4):
-        mid = conv3x3(res_ref[:], 2 * blk).astype(acc_ref.dtype)
-        acc_ref[:] = mid
-        y = conv3x3(acc_ref[:], 2 * blk + 1, residual=res_ref[:])
+        mid = conv3x3(2 * blk, None)
+        xp_ref[1:h + 1, 0:w_dim] = mid.astype(xp_ref.dtype)
+        y = conv3x3(2 * blk + 1, res_ref[:])
         res_ref[:] = y.astype(res_ref.dtype)
+        if blk < 3:
+            xp_ref[1:h + 1, 0:w_dim] = res_ref[:]
     out_ref[0] = res_ref[:]
 
 
@@ -158,6 +172,10 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
         .reshape(b // 2, h, w_dim, c2)
 
     dtype = x.dtype
+    if w_dim % 8:
+        raise ValueError('fused_basic_chain requires W % 8 == 0 (aligned '
+                         'sublane slices); use blockdiag_chain instead')
+    wp = (w_dim + 2 + 7) // 8 * 8  # content cols [0,W), shifted views need W+1
     out = pl.pallas_call(
         _chain_kernel,
         grid=(b // 2,),
@@ -171,9 +189,10 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b // 2, h, w_dim, c2), dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w_dim + 2, c2), dtype),
-            pltpu.VMEM((h, w_dim, c2), dtype),
-            pltpu.VMEM((h, w_dim, c2), dtype),
+            pltpu.VMEM((h + 2, wp, c2), dtype),   # xp: content + zero borders
+            pltpu.VMEM((h + 2, wp, c2), dtype),   # shl: x-1 view
+            pltpu.VMEM((h + 2, wp, c2), dtype),   # shr: x+1 view
+            pltpu.VMEM((h, w_dim, c2), dtype),    # res
         ],
     )(xg, weights.astype(dtype), biases)
 

@@ -221,6 +221,19 @@ def test_oks_nms_parity(rng):
     assert N.oks_nms(db, 0.9) == [int(i) for i in ref.oks_nms(db, 0.9)]
     assert N.soft_oks_nms(db, 0.9) == [int(i) for i in ref.soft_oks_nms(db, 0.9)]
 
+    # linear rescore mode matches the reference's rescore() arithmetic
+    ovr = rng.uniform(0, 1, 11)
+    sc = rng.uniform(0.1, 1, 11)
+    got = N.rescore(ovr.copy(), sc.copy(), 0.5, type='linear')
+    want = ref.rescore(ovr.copy(), sc.copy(), 0.5, type='linear')
+    np.testing.assert_allclose(got, want)
+    got_g = N.rescore(ovr.copy(), sc.copy(), 0.5)
+    want_g = ref.rescore(ovr.copy(), sc.copy(), 0.5)
+    np.testing.assert_allclose(got_g, want_g)
+    # and the full soft-NMS run in linear mode is deterministic + bounded
+    keep_lin = N.soft_oks_nms(db, 0.3, rescore_type='linear')
+    assert len(keep_lin) <= 20 and len(set(keep_lin)) == len(keep_lin)
+
 
 def test_full_yolov3_forward_shape():
     """The full (non-tiny) graph produces the canonical anchor count."""

@@ -258,3 +258,36 @@ def test_prefetch_iter():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match='decode failed'):
         next(it)
+
+
+def test_live_camera_dataset_on_video(tmp_path):
+    """LiveCameraDataset: iteration, (height, width) resize convention,
+    max_frames stop, detector passthrough, release (datasets/LiveCamera.py
+    equivalent; our H/W-consistent deviation is pinned here)."""
+    import cv2
+    from simple_hrnet_tpu.data.live import LiveCameraDataset
+
+    video = str(tmp_path / 'live.avi')
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 10,
+                             (96, 128))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        writer.write(rng.uniform(0, 255, (128, 96, 3)).astype(np.uint8))
+    writer.release()
+
+    ds = LiveCameraDataset(filename=video, resolution=(64, 48), max_frames=3)
+    assert len(ds) == 3
+    frames = list(ds)
+    assert len(frames) == 3
+    for ok, frame in frames:
+        assert ok and frame.shape == (64, 48, 3)  # (height, width, 3)
+    ds.release()
+
+    class Det:
+        def predict_single(self, frame):
+            return np.zeros((2, 7), np.float32)
+
+    ds = LiveCameraDataset(filename=video, detector=Det(), max_frames=2)
+    ok, frame, det = next(iter(ds))
+    assert ok and frame.shape == (128, 96, 3) and det.shape == (2, 7)
+    ds.release()
