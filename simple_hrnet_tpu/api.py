@@ -99,6 +99,11 @@ class SimpleHRNet:
         if enable_tensorrt or checkpoint_path.endswith('.jaxpose'):
             # AOT engine path (the TensorRT analogue, utils/export.py):
             # a pre-lowered StableHLO module with bound folded params.
+            if mesh is not None:
+                raise ValueError(
+                    '.jaxpose engines are compiled ahead-of-time for a '
+                    'single device and cannot be resharded; pass the .pth '
+                    'checkpoint with mesh=... for sharded inference')
             from simple_hrnet_tpu.utils.export import Engine
             engine = Engine(checkpoint_path)
             if tuple(engine.resolution) != self.resolution:
