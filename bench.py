@@ -25,21 +25,26 @@ RES = (384, 288)
 
 
 def measure_torch_cpu_fps() -> float:
-    """Reference torch HRNet-W48 forward fps on CPU (eval mode, no grad)."""
+    """Reference torch HRNet-W48 fps on CPU (eval, no grad), at the SAME
+    batch-16 shape the TPU number uses, >=30 timed forwards (capped by a
+    2-minute budget — the W48 b16 CPU forward takes ~10 s each here)."""
     import torch
     sys.path.append('/root/reference')
     from models_.hrnet import HRNet as TorchHRNet
 
     model = TorchHRNet(c=48, nof_joints=17)
     model.eval()
-    x = torch.randn(1, 3, *RES)
+    x = torch.randn(BATCH, 3, *RES)
     with torch.no_grad():
-        model(x)  # warmup
-        n, t0 = 3, time.perf_counter()
+        t0 = time.perf_counter()
+        model(x)  # warmup; also calibrates the iteration budget
+        once = time.perf_counter() - t0
+        n = int(max(3, min(30, 120.0 / max(once, 1e-3))))
+        t0 = time.perf_counter()
         for _ in range(n):
             model(x)
         dt = (time.perf_counter() - t0) / n
-    return 1.0 / dt
+    return BATCH / dt
 
 
 def torch_cpu_fps() -> float:

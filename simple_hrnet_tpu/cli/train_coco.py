@@ -38,7 +38,9 @@ def main(exp_name,
          coco_bbox_path=None,
          seed=1,
          device=None,
-         n_devices=None):
+         n_devices=None,
+         dtype=None,
+         use_native_decode=False):
     import jax
 
     from simple_hrnet_tpu.data.coco import COCODataset
@@ -65,12 +67,12 @@ def main(exp_name,
         root_path=coco_root_path, data_version='train2017', is_train=True,
         use_gt_bboxes=(coco_bbox_path is None), bbox_path=coco_bbox_path,
         image_width=image_resolution[1], image_height=image_resolution[0],
-        color_rgb=True)
+        color_rgb=True, use_native_decode=use_native_decode)
     ds_val = COCODataset(
         root_path=coco_root_path, data_version='val2017', is_train=False,
         use_gt_bboxes=(coco_bbox_path is None), bbox_path=coco_bbox_path,
         image_width=image_resolution[1], image_height=image_resolution[0],
-        color_rgb=True)
+        color_rgb=True, use_native_decode=use_native_decode)
 
     train = COCOTrain(
         exp_name=exp_name, ds_train=ds_train, ds_val=ds_val, epochs=epochs,
@@ -83,7 +85,8 @@ def main(exp_name,
         use_tensorboard=not disable_tensorboard_log, model_c=model_c,
         model_nof_joints=model_nof_joints,
         model_bn_momentum=model_bn_momentum,
-        flip_test_images=not disable_flip_test_images, mesh=mesh, seed=seed)
+        flip_test_images=not disable_flip_test_images, mesh=mesh, seed=seed,
+        dtype=dtype)
     train.run()
 
 
@@ -119,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--seed', '-s', type=int, default=1)
     parser.add_argument('--device', '-d', type=str, default=None)
     parser.add_argument('--n_devices', type=int, default=None)
+    parser.add_argument('--dtype', type=str, default=None,
+                        choices=[None, 'bfloat16', 'float32'],
+                        help='bfloat16 = mixed-precision step '
+                             '(f32 master params, bf16 conv compute)')
+    parser.add_argument('--use_native_decode', action='store_true',
+                        help='fused C JPEG->warp->normalize data loading')
     return parser
 
 
