@@ -57,15 +57,22 @@ def _pack_tree(tree: Params, group: int) -> Params:
     return {k: _pack_tree(v, group) for k, v in tree.items()}
 
 
-def pack_grouped(folded_params: Params, group: int = 2) -> Params:
+def pack_grouped(folded_params: Params, group: int = 2,
+                 group_stem: bool = False) -> Params:
     """Block-diagonal weights for the trunk (transitions + stages).
 
     Call on FOLDED params. Branch blocks listed in UNGROUPED_BRANCHES are
     not packed (they run on ungrouped tensors with the original weights).
+    ``group_stem`` additionally packs conv2 + layer1 (C=64 convs, half the
+    MXU lanes ungrouped — PERF.md round 2), so grouping starts right after
+    the 3-channel conv1.
     """
     packed: Params = {}
     for key in ('transition1', 'transition2', 'transition3'):
         packed[key] = _pack_tree(folded_params[key], group)
+    if group_stem:
+        packed['conv2'] = _blockdiag_conv(folded_params['conv2'], group)
+        packed['layer1'] = _pack_tree(folded_params['layer1'], group)
     for stage, (n_mod, n_br) in hrnet.STAGE_CFG.items():
         ps: Params = {}
         for m in range(n_mod):
@@ -151,15 +158,23 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
         x = jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
     kw = dict(train=False, stats=None, axis_name=None, dtype=dtype)
 
-    # stem + layer1 ungrouped (channel widths already fill the MXU)
+    # conv1 (3->C) is contraction-starved either way; everything after it
+    # can run grouped (conv2 + layer1 are C=64 convs — half the MXU lanes
+    # ungrouped), controlled by pack_grouped(group_stem=...)
     h = L.conv_bn(x, params, 'conv1', 'bn1', stride=2, padding=1, act=True,
                   **kw)
-    h = L.conv_bn(h, params, 'conv2', 'bn2', stride=2, padding=1, act=True,
-                  **kw)
-    for i in range(4):
-        h = L.bottleneck(params['layer1'][str(i)], h, **kw)
-
-    hg = _group(h, group)
+    if 'conv2' in packed:
+        hg = _group(h, group)
+        hg = L.conv_bn(hg, packed, 'conv2', 'bn2', stride=2, padding=1,
+                       act=True, **kw)
+        for i in range(4):
+            hg = L.bottleneck(packed['layer1'][str(i)], hg, **kw)
+    else:
+        h = L.conv_bn(h, params, 'conv2', 'bn2', stride=2, padding=1,
+                      act=True, **kw)
+        for i in range(4):
+            h = L.bottleneck(params['layer1'][str(i)], h, **kw)
+        hg = _group(h, group)
     t1 = packed['transition1']
     xs = [
         L.conv_bn(hg, t1['0'], '0', '1', stride=1, padding=1, act=True, **kw),

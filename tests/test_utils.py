@@ -291,3 +291,36 @@ def test_live_camera_dataset_on_video(tmp_path):
     ok, frame, det = next(iter(ds))
     assert ok and frame.shape == (128, 96, 3) and det.shape == (2, 7)
     ds.release()
+
+
+def test_live_demo_main_loop_on_video(tmp_path, monkeypatch):
+    """live-demo main(): full loop on a synthetic video (single-person,
+    save_video path, tracking smoothing) — writes output.avi."""
+    import cv2
+    import torch
+
+    conftest.reference_on_path()
+    from models_.hrnet import HRNet as TorchHRNet
+
+    torch.manual_seed(0)
+    ckpt_path = str(tmp_path / 'w32.pth')
+    torch.save(TorchHRNet(c=32, nof_joints=17).state_dict(), ckpt_path)
+
+    video = str(tmp_path / 'in.avi')
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 10,
+                             (96, 128))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        writer.write(rng.uniform(0, 255, (128, 96, 3)).astype(np.uint8))
+    writer.release()
+
+    monkeypatch.chdir(tmp_path)
+    from simple_hrnet_tpu.cli.live_demo import main
+    main(filename=video, hrnet_c=32, hrnet_weights=ckpt_path,
+         image_resolution='(128, 96)', single_person=True,
+         disable_tracking=True, save_video=True, max_frames=2)
+    out = cv2.VideoCapture(str(tmp_path / 'output.avi'))
+    n = 0
+    while out.read()[0]:
+        n += 1
+    assert n == 2
