@@ -145,9 +145,11 @@ class SimpleHRNet:
                               'packed': hrnet_fast.pack_grouped(params)}
 
                     def grouped_apply(bundle, x, dtype=None):
+                        # fuse_up_pallas measured SLOWER in-graph despite a
+                        # 12x standalone win (PERF.md round 2) — keep the
+                        # XLA fuse here
                         return hrnet_fast.apply_grouped(
-                            bundle['p'], bundle['packed'], x, dtype=dtype,
-                            fuse_up_pallas=True)
+                            bundle['p'], bundle['packed'], x, dtype=dtype)
 
                     self._apply = grouped_apply
                 else:
