@@ -97,11 +97,10 @@ def _decode(heatmaps_nchw, box_wh):
 
 
 def _fps(fn, n=10):
-    fn()  # warm/compile
+    fn()  # warm/compile (predict() returns host numpy — already synced)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn()
-    np.asarray(out)
+        fn()
     return n / (time.perf_counter() - t0)
 
 
@@ -136,6 +135,9 @@ def run(weights_dir, image_path, out_path):
         frames = np.stack([frame] * batch) if batch > 1 else frame
         out = facade.predict(frames)
         heatmaps, pts = out
+        pts = np.asarray(pts)
+        if pts.ndim == 4:      # batched single-person: (n, 1, J, 3)
+            pts = pts[:, 0]
         if batch > 1:
             fps = _fps(lambda: facade.predict(frames)) * batch
         else:

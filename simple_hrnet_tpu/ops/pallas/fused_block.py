@@ -154,22 +154,24 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
                       biases: jnp.ndarray) -> jnp.ndarray:
     """Run the fused 4-BasicBlock chain.
 
-    x: (B, H, W, C) with B even; weights/biases from pack_chain_weights.
-    Returns (B, H, W, C), numerically matching the unfused chain to bf16
-    tolerance.
+    x: (B, H, W, C); weights/biases from pack_chain_weights (any group —
+    G = weights_C / C images share one packed tensor; G*C == 128 fills the
+    MXU lanes exactly, e.g. W32's C=32 with G=4). Batch-halves packing,
+    consistent with blockdiag_chain. Returns (B, H, W, C), matching the
+    unfused chain to bf16 tolerance.
     """
     b, h, w_dim, c = x.shape
-    if weights.shape[-1] != 2 * c:
-        raise ValueError('the Pallas fused chain requires group=2 packing; '
-                         'use blockdiag_chain for other group sizes')
+    group = weights.shape[-1] // c
     orig_b = b
-    if b % 2:  # pad to an even batch (images are processed in pairs)
-        x = jnp.concatenate([x, x[-1:]], axis=0)
-        b += 1
-    c2 = 2 * c
-    # pack image pairs into channels
-    xg = x.reshape(b // 2, 2, h, w_dim, c).transpose(0, 2, 3, 1, 4) \
-        .reshape(b // 2, h, w_dim, c2)
+    pad = (-b) % group
+    if pad:
+        x = jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
+        b += pad
+    cg = group * c
+    # batch-halves packing (same layout as blockdiag_chain)
+    step = b // group
+    xg = jnp.concatenate([x[g * step:(g + 1) * step] for g in range(group)],
+                         axis=-1)
 
     dtype = x.dtype
     if w_dim % 8:
@@ -178,24 +180,24 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
     wp = (w_dim + 2 + 7) // 8 * 8  # content cols [0,W), shifted views need W+1
     out = pl.pallas_call(
         _chain_kernel,
-        grid=(b // 2,),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, h, w_dim, c2), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w_dim, c2), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b // 2, h, w_dim, c2), dtype),
+        out_shape=jax.ShapeDtypeStruct((b // group, h, w_dim, cg), dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, wp, c2), dtype),   # xp: content + zero borders
-            pltpu.VMEM((h + 2, wp, c2), dtype),   # shl: x-1 view
-            pltpu.VMEM((h + 2, wp, c2), dtype),   # shr: x+1 view
-            pltpu.VMEM((h, w_dim, c2), dtype),    # res
+            pltpu.VMEM((h + 2, wp, cg), dtype),   # xp: content + zero borders
+            pltpu.VMEM((h + 2, wp, cg), dtype),   # shl: x-1 view
+            pltpu.VMEM((h + 2, wp, cg), dtype),   # shr: x+1 view
+            pltpu.VMEM((h, w_dim, cg), dtype),    # res
         ],
     )(xg, weights.astype(dtype), biases)
 
-    out = out.reshape(b // 2, h, w_dim, 2, c).transpose(0, 3, 1, 2, 4) \
-        .reshape(b, h, w_dim, c)
+    out = jnp.concatenate([out[..., g * c:(g + 1) * c] for g in range(group)],
+                          axis=0)
     return out[:orig_b]
