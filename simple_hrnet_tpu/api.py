@@ -99,11 +99,6 @@ class SimpleHRNet:
         if enable_tensorrt or checkpoint_path.endswith('.jaxpose'):
             # AOT engine path (the TensorRT analogue, utils/export.py):
             # a pre-lowered StableHLO module with bound folded params.
-            if mesh is not None:
-                raise ValueError(
-                    '.jaxpose engines are compiled ahead-of-time for a '
-                    'single device and cannot be resharded; pass the .pth '
-                    'checkpoint with mesh=... for sharded inference')
             from simple_hrnet_tpu.utils.export import Engine
             engine = Engine(checkpoint_path)
             if tuple(engine.resolution) != self.resolution:
@@ -111,19 +106,33 @@ class SimpleHRNet:
                     f'engine resolution {engine.resolution} != requested '
                     f'{self.resolution}')
             params = engine.params
+            eb = engine.batch_size
+
+            if mesh is not None:
+                # Engines are compiled for one device; under a mesh each
+                # device runs the SAME module on its per-device slice of a
+                # (devices x engine_batch) super-batch — the TPU-native
+                # "TensorRT engine under DataParallel"
+                # (reference SimpleHRNet.py:123-147 combination).
+                from jax.sharding import PartitionSpec as P
+                call = jax.jit(jax.shard_map(
+                    engine._exported.call, mesh=mesh,
+                    in_specs=(P(), P('data')), out_specs=P('data')))
+                chunk = eb * int(mesh.devices.size)
+            else:
+                call, chunk = engine._call, eb
 
             def engine_apply(p, x, dtype=None):
                 n = x.shape[0]
-                eb = engine.batch_size
-                if n == eb:
-                    return engine._call(p, x)
+                if n == chunk:
+                    return call(p, x)
                 import jax.numpy as _jnp
-                pad = (-n) % eb
+                pad = (-n) % chunk
                 xp = _jnp.concatenate(
                     [x, _jnp.zeros((pad, *x.shape[1:]), x.dtype)]) \
                     if pad else x
-                outs = [engine._call(p, xp[i:i + eb])
-                        for i in range(0, xp.shape[0], eb)]
+                outs = [call(p, xp[i:i + chunk])
+                        for i in range(0, xp.shape[0], chunk)]
                 return _jnp.concatenate(outs)[:n]
 
             self._apply = engine_apply
@@ -213,12 +222,18 @@ class SimpleHRNet:
         apply_fn = self._apply
         dtype = self.dtype
         cubic = self.interpolation in ('cubic', None) or self.interpolation == 2
+        # 'bilinear_aa' = PIL transforms.Resize semantics (antialiased on
+        # downscale), the reference's actual crop/frame resampler — see
+        # PARITY.md #6 and ops/image.resize_bilinear_aa
+        bilinear_aa = self.interpolation == 'bilinear_aa'
 
         @jax.jit
         def run(params, frames_bgr):  # (B, H, W, 3) uint8 BGR
             rgb = frames_bgr[..., ::-1].astype(jnp.float32)
             if (res_h, res_w) != in_hw:
-                if cubic:
+                if bilinear_aa:
+                    resized = I.resize_bilinear_aa(rgb, (res_h, res_w))
+                elif cubic:
                     resized = I.resize_cubic(rgb, (res_h, res_w))
                 else:
                     resized = I.resize_bilinear(rgb, (res_h, res_w))
@@ -477,8 +492,13 @@ class SimpleHRNet:
         hm_h, hm_w = self.resolution[0] // 4, self.resolution[1] // 4
 
         if not self.multiperson:
-            run = self._get_single(image.shape[:2], 1)
-            hm, pts = run(self.params, image[None])
+            # under a mesh the frame batch must divide the 'data' axis:
+            # replicate the frame across devices and keep row 0
+            mult = self.mesh.size if self.mesh is not None else 1
+            run = self._get_single(image.shape[:2], mult)
+            hm, pts = run(self.params,
+                          np.broadcast_to(image, (mult, *image.shape)))
+            hm, pts = hm[:1], pts[:1]
             heatmaps = np.transpose(np.asarray(hm), (0, 3, 1, 2))
             boxes = np.asarray(
                 [[0, 0, image.shape[1], image.shape[0]]], np.float32)
@@ -505,8 +525,16 @@ class SimpleHRNet:
         n_img = images.shape[0]
 
         if not self.multiperson:
-            run = self._get_single(images.shape[1:3], n_img)
-            hm, pts = run(self.params, images)
+            # pad the frame batch to a mesh-divisible count (same trailing-
+            # frame padding the bucket paths use), slice back after
+            mult = self.mesh.size if self.mesh is not None else 1
+            pad = (-n_img) % mult
+            imgs = np.concatenate(
+                [images, np.repeat(images[-1:], pad, axis=0)]) \
+                if pad else images
+            run = self._get_single(images.shape[1:3], n_img + pad)
+            hm, pts = run(self.params, imgs)
+            hm, pts = hm[:n_img], pts[:n_img]
             heatmaps = np.transpose(np.asarray(hm), (0, 3, 1, 2))
             boxes = np.repeat(np.asarray(
                 [[0, 0, images.shape[2], images.shape[1]]], np.float32),

@@ -161,6 +161,57 @@ def resize_cubic(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return x
 
 
+def _linear_aa_weights(in_size: int, out_size: int) -> 'np.ndarray':
+    """Dense (out, in) PIL-convention antialiased bilinear matrix.
+
+    Reproduces Pillow's ``precompute_coeffs`` (src/libImaging/Resample.c)
+    for the triangle filter: the kernel widens by the downscale factor
+    (area-weighted averaging), weights are normalized per output pixel, and
+    window bounds are computed with PIL's ``int(x + 0.5)`` rounding. On
+    upscales (scale <= 1) this degenerates to plain half-pixel-center
+    bilinear. This is what the reference's ``transforms.Resize`` does to
+    PIL images (SimpleHRNet.py:167-172) — see PARITY.md #6.
+    """
+    import numpy as np
+
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = filterscale  # bilinear filter support = 1.0
+    w = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        xs = np.arange(xmin, xmax)
+        k = 1.0 - np.abs((xs - center + 0.5) / filterscale)
+        k = np.maximum(k, 0.0)
+        s = k.sum()
+        if s != 0.0:
+            k /= s
+        w[i, xmin:xmax] = k
+    return w.astype(np.float32)
+
+
+def resize_bilinear_aa(image: jnp.ndarray,
+                       out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """PIL-equivalent antialiased bilinear resize (HWC/NHWC, static shapes).
+
+    Two dense matmuls (MXU-friendly, built once per shape at trace time),
+    matching ``PIL.Image.resize(..., BILINEAR)`` / torchvision
+    ``transforms.Resize`` on float images to ~1e-5 (PIL's uint8 path adds
+    int16 fixed-point rounding on top). Closes the PARITY.md #6 deviation
+    for whole-frame resizes; enable via ``SimpleHRNet(interpolation=
+    'bilinear_aa')``.
+    """
+    in_hw = image.shape[-3:-1]
+    wh = jnp.asarray(_linear_aa_weights(in_hw[0], out_hw[0]))
+    ww = jnp.asarray(_linear_aa_weights(in_hw[1], out_hw[1]))
+    x = image.astype(jnp.float32)
+    x = jnp.einsum('oh,...hwc->...owc', wh, x)
+    x = jnp.einsum('pw,...hwc->...hpc', ww, x)
+    return x
+
+
 def pad_to_aspect(boxes: jnp.ndarray, aspect: float,
                   clamp_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Expand xyxy boxes (float) to the target height/width aspect ratio.

@@ -151,6 +151,28 @@ def test_crop_resize_matches_cv2(rng):
     np.testing.assert_allclose(got[1:-1, 1:-1], ref[1:-1, 1:-1], atol=1e-2)
 
 
+def test_resize_bilinear_aa_matches_pil(rng):
+    """resize_bilinear_aa == PIL Image.resize(BILINEAR) (the reference's
+    transforms.Resize resampler, SimpleHRNet.py:167-172) on float images,
+    both downscale (antialiased) and upscale."""
+    from PIL import Image
+
+    from simple_hrnet_tpu.ops import image as I
+
+    img = rng.uniform(0, 255, (48, 64, 3)).astype(np.float32)
+    for out_hw in [(20, 28), (96, 128), (30, 100)]:
+        got = np.asarray(I.resize_bilinear_aa(img, out_hw))
+        for ch in range(3):
+            ref = np.asarray(Image.fromarray(img[..., ch], mode='F').resize(
+                (out_hw[1], out_hw[0]), Image.BILINEAR))
+            np.testing.assert_allclose(got[..., ch], ref, atol=1e-3)
+    # batch (NHWC) path agrees with per-image
+    batch = rng.uniform(0, 255, (2, 48, 64, 3)).astype(np.float32)
+    gb = np.asarray(I.resize_bilinear_aa(batch, (20, 28)))
+    g0 = np.asarray(I.resize_bilinear_aa(batch[0], (20, 28)))
+    np.testing.assert_allclose(gb[0], g0, atol=1e-4)
+
+
 def test_crop_resize_out_of_bounds_zero_fill(rng):
     from simple_hrnet_tpu.ops import image as I
 

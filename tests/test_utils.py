@@ -194,6 +194,33 @@ def test_facade_engine_path(tmp_path, rng):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_facade_engine_path_mesh(tmp_path, rng):
+    """.jaxpose engine under a 4-device mesh: each device runs the AOT
+    module on its slice of the super-batch (shard_map over 'data'), and
+    results match the mesh-less engine for an uneven frame count."""
+    import jax
+    from simple_hrnet_tpu import SimpleHRNet
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.parallel import make_mesh
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+    from simple_hrnet_tpu.utils.export import export_engine
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=4, nof_joints=17)
+    ckpt_path = str(tmp_path / 'w4.npz')
+    ckpt.save(ckpt_path, params)
+    engine_path = export_engine(str(tmp_path / 'w4.jaxpose'), ckpt_path,
+                                c=4, resolution=(64, 64), batch_size=2)
+
+    frames = rng.uniform(0, 255, (5, 64, 64, 3)).astype(np.uint8)
+    plain = SimpleHRNet(4, 17, engine_path, multiperson=False,
+                        resolution=(64, 64), enable_tensorrt=True)
+    meshed = SimpleHRNet(4, 17, engine_path, multiperson=False,
+                         resolution=(64, 64), enable_tensorrt=True,
+                         mesh=make_mesh(4))
+    np.testing.assert_allclose(meshed.predict(frames), plain.predict(frames),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_root_shim_import():
     """`from SimpleHRNet import SimpleHRNet` works like the reference."""
     import sys
