@@ -47,8 +47,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = 'data') -> Any:
-    """Device_put a pytree of host arrays with the batch axis sharded."""
+    """Device_put a pytree of host arrays with the batch axis sharded.
+
+    Under a multi-process job (``jax.process_count() > 1``) each process
+    passes only its LOCAL rows and the global array is assembled across
+    hosts (see parallel/distributed.py); single-process it is a plain
+    sharded device_put.
+    """
     sharding = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
