@@ -148,17 +148,25 @@ class SimpleHRNet:
                     # packing of branch0 + transitions + fuse layers. The
                     # packed weights travel as part of the params bundle
                     # (jit ARGUMENT, not closure — closures bake them into
-                    # the HLO as constants).
+                    # the HLO as constants). Group so the packed branch-0
+                    # width approaches the 128 MXU lanes (W48: G=2 -> 96,
+                    # W32: G=4 -> 128); when it hits 128 EXACTLY, the
+                    # Pallas chain + fuse_up kernels run on the hot path
+                    # (measured W32-256x192 b16 bf16: 3305 img/s vs 2007
+                    # plain / 2854 grouped-conv — PERF.md round 2; at 96
+                    # lanes both kernels lose to XLA and stay off).
                     from simple_hrnet_tpu.models import hrnet_fast
+                    group = min(4, max(2, 128 // c))
+                    lanes_exact = (group * c == 128)
                     params = {'p': params,
-                              'packed': hrnet_fast.pack_grouped(params)}
+                              'packed': hrnet_fast.pack_grouped(
+                                  params, group=group)}
 
-                    def grouped_apply(bundle, x, dtype=None):
-                        # fuse_up_pallas measured SLOWER in-graph despite a
-                        # 12x standalone win (PERF.md round 2) — keep the
-                        # XLA fuse here
+                    def grouped_apply(bundle, x, dtype=None,
+                                      _fu=lanes_exact):
                         return hrnet_fast.apply_grouped(
-                            bundle['p'], bundle['packed'], x, dtype=dtype)
+                            bundle['p'], bundle['packed'], x, dtype=dtype,
+                            fuse_up_pallas=_fu)
 
                     self._apply = grouped_apply
                 else:

@@ -270,14 +270,19 @@ def init(key, c: int = 48, nof_joints: int = 17) -> Params:
 
 
 def pack_fused_chains(folded_params: Params, dtype=jnp.bfloat16,
-                      branches=(0,), mode: str = 'blockdiag') -> dict:
+                      branches=(0,), mode: str = 'auto') -> dict:
     """Pre-pack fast-path chain weights for every stage module.
 
     Call on FOLDED params (inference). ``branches`` selects which branch
     indices use the fast chain (default: branch 0, the small-channel
-    high-res bottleneck — see PERF.md). ``mode``: 'blockdiag' (pure-XLA
-    image-pair packing, the current fastest) or 'pallas' (VMEM-resident
-    fused kernel).
+    high-res bottleneck — see PERF.md). ``mode``:
+
+      * 'blockdiag' — pure-XLA image-group packing;
+      * 'pallas'    — VMEM-resident fused kernel;
+      * 'auto'      — 'pallas' exactly when the packed width fills the 128
+        MXU lanes (W32 branch0: C=32 x G=4 — measured 1.5x over blockdiag
+        there), 'blockdiag' otherwise (at 96 lanes the kernel loses to
+        XLA; PERF.md round-2 post-mortem).
     """
     from simple_hrnet_tpu.ops.pallas.fused_block import pack_chain_weights
 
@@ -295,6 +300,9 @@ def pack_fused_chains(folded_params: Params, dtype=jnp.bfloat16,
                 group = max(1, min(4, 128 // c)) if c < 96 else 1
                 if group == 1:
                     continue
+                m_eff = mode
+                if mode == 'auto':
+                    m_eff = 'pallas' if group * c == 128 else 'blockdiag'
                 wts, bias = pack_chain_weights(blocks, dtype, group=group)
-                chains[f'{stage}.{m}.branches.{b}'] = (mode, wts, bias)
+                chains[f'{stage}.{m}.branches.{b}'] = (m_eff, wts, bias)
     return chains

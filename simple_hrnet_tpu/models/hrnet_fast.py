@@ -58,7 +58,8 @@ def _pack_tree(tree: Params, group: int) -> Params:
 
 
 def pack_grouped(folded_params: Params, group: int = 2,
-                 group_stem: bool = False) -> Params:
+                 group_stem: bool = False,
+                 pallas_chains: bool = True) -> Params:
     """Block-diagonal weights for the trunk (transitions + stages).
 
     Call on FOLDED params. Branch blocks listed in UNGROUPED_BRANCHES are
@@ -66,6 +67,12 @@ def pack_grouped(folded_params: Params, group: int = 2,
     ``group_stem`` additionally packs conv2 + layer1 (C=64 convs, half the
     MXU lanes ungrouped — PERF.md round 2), so grouping starts right after
     the 3-channel conv1.
+
+    ``pallas_chains``: when a grouped branch's width hits the 128 MXU
+    lanes exactly (W32 branch 0: C=32 x G=4), also stack its 4-BasicBlock
+    chain weights for the VMEM-resident Pallas kernel (measured 1.5x over
+    the XLA blockdiag chain at that shape — PERF.md round 2); the apply
+    falls back to per-block convs when the spatial width is unaligned.
     """
     packed: Params = {}
     for key in ('transition1', 'transition2', 'transition3'):
@@ -82,6 +89,15 @@ def pack_grouped(folded_params: Params, group: int = 2,
                 if b in UNGROUPED_BRANCHES:
                     continue
                 branches[str(b)] = _pack_tree(sp['branches'][str(b)], group)
+                blocks = [sp['branches'][str(b)][str(i)] for i in range(4)]
+                c = blocks[0]['conv1']['kernel'].shape[2]
+                if pallas_chains and group * c == 128:
+                    from simple_hrnet_tpu.ops.pallas.fused_block import (
+                        pack_chain_weights)
+                    # stored f32; the kernel casts to the activation dtype
+                    w, bias = pack_chain_weights(blocks, jnp.float32,
+                                                 group=group)
+                    branches[f'chain{b}'] = {'w': w, 'b': bias}
             ps[str(m)] = {'branches': branches,
                           'fuse_layers': _pack_tree(sp['fuse_layers'], group)}
         packed[stage] = ps
@@ -116,6 +132,16 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
                                    **kw)
             xs[b] = _group(xu, group)
         else:
+            chain = packed_m['branches'].get(f'chain{b}')
+            if chain is not None:
+                from simple_hrnet_tpu.ops.pallas.fused_block import (
+                    chain_pallas_grouped, chain_pallas_ok)
+                if chain_pallas_ok(xs[b].shape[2], xs[b].dtype):
+                    # VMEM-resident Pallas chain on the grouped tensor (128
+                    # lanes exactly; see ops/pallas/fused_block.py)
+                    xs[b] = chain_pallas_grouped(xs[b], chain['w'],
+                                                 chain['b'])
+                    continue
             bp = packed_m['branches'][str(b)]
             for blk in range(4):
                 xs[b] = L.basic_block(bp[str(blk)], xs[b], **kw)

@@ -7,15 +7,21 @@ inflates HBM traffic 2.7x. This kernel runs a branch's whole chain of 4
 BasicBlocks (8 convs + residuals + ReLUs) for a PAIR of images entirely in
 VMEM:
 
-  * two images are packed into the channel dim (C -> 2C) with
-    block-diagonal weights — 2x redundant FLOPs for ~4x better MXU shapes
-    (55 vs 34 TF/s measured at the XLA level; here the chain also loses all
-    intermediate HBM round-trips);
-  * each 3x3 conv = 9 static-tap dot_generals over a zero-padded VMEM
-    scratch, f32 accumulation, folded-BN bias + ReLU fused in registers.
+  * G images are packed into the channel dim (C -> G*C) with
+    block-diagonal weights — Gx redundant FLOPs for full MXU lanes
+    (G*C == 128 is the sweet spot: W32's C=32 with G=4; here the chain
+    also loses all intermediate HBM round-trips);
+  * each 3x3 conv = 3 dot_generals (K = 3*G*C: the kx taps live in lane
+    blocks of one wide VMEM buffer) over zero-padded scratch, f32
+    accumulation, folded-BN bias + ReLU fused in registers (kernel v3 —
+    the v1/v2/v3 layout progression and measurements are in PERF.md).
+
+Measured at the W32 branch-0 shape (16x64x48x32, bf16, 200-iter chained
+on-chip timing): 0.183 ms vs 0.238 blockdiag-XLA (1.30x) vs 0.645 plain
+(3.5x). At 96 packed lanes (W48) XLA still wins — use blockdiag there.
 
 Weights must be pre-packed with ``pack_chain_weights`` (host-side, once at
-load): (8, 3, 3, 2C, 2C) block-diagonal bf16 + (8, 2C) biases.
+load): (8, 3, 3, GC, GC) block-diagonal + (8, GC) f32 biases.
 """
 
 from __future__ import annotations
@@ -98,55 +104,115 @@ def pack_chain_weights(block_params: list, dtype=jnp.bfloat16,
     return jnp.asarray(w, dtype), jnp.asarray(b, jnp.float32)
 
 
-def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, shl_ref, shr_ref,
-                  res_ref):
-    """One grid step = one packed image-pair; refs are (1, H, W, 2C).
+def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xw_ref):
+    """One grid step = one packed image group; x/out blocks are
+    (1, H, W, CG), w_ref is (8, 3, 3*CG, CG) with the three kx taps stacked
+    on the contraction dim.
 
-    Layout strategy (the round-1 version lost to XLA because all 9 per-tap
-    slices of the padded scratch were SUBLANE-OFFSET reads, each forcing a
-    Mosaic relayout): content lives at column 0 of an 8-aligned buffer, and
-    the two x-shifted views are PRE-SHIFTED into dedicated buffers — 2
-    misaligned copies per conv instead of 6 misaligned taps, every other
-    read/store aligned. Row (ky) offsets are major-dim and free.
+    Layout strategy, v3 (see PERF.md for the v1/v2/v3 progression): the
+    round-1 kernel lost to XLA because all 9 per-tap slices of the padded
+    scratch were SUBLANE-OFFSET reads, each forcing a Mosaic relayout; v2
+    pre-shifted the two x-offset views into dedicated buffers (2 misaligned
+    copies/conv instead of 6 misaligned taps). v3 additionally concatenates
+    the kx taps on the LANE dim of one wide buffer — lane offsets at CG
+    multiples are register-aligned, so each conv is 3 dot_generals with
+    K=3*CG instead of 9 with K=CG (3x fewer accumulator round-trips, taller
+    MXU contractions). Row (ky) offsets are major-dim and free. The
+    residual lives in the output block (saves one scratch buffer — keeps
+    the f32 variant inside the 16MB VMEM budget).
     """
-    _, h, w_dim, c2 = out_ref.shape
+    _, h, w_dim, cg = out_ref.shape
 
-    # zero once: borders (row 0 / h+1, the shl zero column, the alignment
-    # tail) stay zero forever — later writes touch content regions only
+    # zero once: borders (row 0 / h+1, the shl zero column, alignment
+    # tails) stay zero forever — later writes touch content regions only
     @pl.when(pl.program_id(0) == 0)
     def _():
-        xp_ref[:] = jnp.zeros(xp_ref.shape, xp_ref.dtype)
-        shl_ref[:] = jnp.zeros(shl_ref.shape, shl_ref.dtype)
-        shr_ref[:] = jnp.zeros(shr_ref.shape, shr_ref.dtype)
+        xw_ref[:] = jnp.zeros(xw_ref.shape, xw_ref.dtype)
+
+    def load_center(v):
+        # content at rows [1, h], cols [0, w); lane block 1 = center taps
+        xw_ref[1:h + 1, 0:w_dim, cg:2 * cg] = v
 
     def conv3x3(conv_idx, residual):
-        # pre-shift the two x-offset views (the only misaligned ops)
-        shl_ref[1:h + 1, 1:w_dim + 1] = xp_ref[1:h + 1, 0:w_dim]
-        shr_ref[1:h + 1, 0:w_dim] = xp_ref[1:h + 1, 1:w_dim + 1]
-        acc = jnp.broadcast_to(b_ref[conv_idx, :], (h, w_dim, c2)).astype(
+        # the two misaligned sublane shifts write straight into the wide
+        # buffer's outer lane blocks (lane offsets are CG-aligned: free)
+        xw_ref[1:h + 1, 1:w_dim + 1, 0:cg] = \
+            xw_ref[1:h + 1, 0:w_dim, cg:2 * cg]
+        xw_ref[1:h + 1, 0:w_dim, 2 * cg:3 * cg] = \
+            xw_ref[1:h + 1, 1:w_dim + 1, cg:2 * cg]
+        acc = jnp.broadcast_to(b_ref[conv_idx, :], (h, w_dim, cg)).astype(
             jnp.float32)
         for ky in range(3):
-            for kx, src in ((0, shl_ref), (1, xp_ref), (2, shr_ref)):
-                tap = src[ky:ky + h, 0:w_dim, :]
-                acc = acc + jax.lax.dot_general(
-                    tap, w_ref[conv_idx, ky, kx],
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            tap = xw_ref[ky:ky + h, 0:w_dim, :]
+            acc = acc + jax.lax.dot_general(
+                tap, w_ref[conv_idx, ky],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         if residual is not None:
             acc = acc + residual.astype(jnp.float32)
         return jnp.maximum(acc, 0.0)
 
     # 4 BasicBlocks: conv1 -> relu -> conv2 (+residual) -> relu
-    xp_ref[1:h + 1, 0:w_dim] = x_ref[0]
-    res_ref[:] = x_ref[0]
+    load_center(x_ref[0])
+    out_ref[0] = x_ref[0]
     for blk in range(4):
         mid = conv3x3(2 * blk, None)
-        xp_ref[1:h + 1, 0:w_dim] = mid.astype(xp_ref.dtype)
-        y = conv3x3(2 * blk + 1, res_ref[:])
-        res_ref[:] = y.astype(res_ref.dtype)
+        load_center(mid.astype(xw_ref.dtype))
+        y = conv3x3(2 * blk + 1, out_ref[0])
+        out_ref[0] = y.astype(out_ref.dtype)
         if blk < 3:
-            xp_ref[1:h + 1, 0:w_dim] = res_ref[:]
-    out_ref[0] = res_ref[:]
+            load_center(out_ref[0])
+
+
+def chain_pallas_ok(w_dim: int, dtype) -> bool:
+    """Can the compiled chain kernel run at this shape/dtype?
+
+    Needs W % 8 == 0 (aligned sublane slices). In f32 on a REAL TPU the
+    kernel's VMEM footprint (wide tap buffer + f32 weights + Mosaic's
+    double-buffered in/out blocks) exceeds the 16MB budget at production
+    shapes — f32 falls back to the XLA blockdiag chain (interpret mode on
+    CPU has no VMEM limit, so f32 parity tests still exercise the kernel).
+    """
+    if w_dim % 8:
+        return False
+    return dtype != jnp.float32 or jax.default_backend() == 'cpu'
+
+
+def chain_pallas_grouped(xg: jnp.ndarray, weights: jnp.ndarray,
+                         biases: jnp.ndarray) -> jnp.ndarray:
+    """Run the fused chain kernel on an ALREADY-packed tensor.
+
+    xg: (B', H, W, CG) with CG == weights' channel width (the grouped-trunk
+    fast path packs once for the whole trunk — models/hrnet_fast.py — and
+    calls this directly on its grouped branch-0 tensors). Requires
+    W % 8 == 0 (aligned sublane slices).
+    """
+    bg, h, w_dim, cg = xg.shape
+    dtype = xg.dtype
+    wp = (w_dim + 2 + 7) // 8 * 8  # content cols [0,W), shifted views need W+1
+    # restack (8,3,3,CG,CG) -> (8,3,3*CG,CG): kx taps on the contraction
+    # dim, order [shl(kx=0) | center(kx=1) | shr(kx=2)] matching the wide
+    # buffer's lane blocks
+    w = weights.astype(dtype)
+    wst = jnp.concatenate([w[:, :, 0], w[:, :, 1], w[:, :, 2]], axis=2)
+    return pl.pallas_call(
+        _chain_kernel,
+        grid=(bg,),
+        interpret=jax.default_backend() == 'cpu',
+        in_specs=[
+            pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bg, h, w_dim, cg), dtype),
+        scratch_shapes=[
+            # [x-1 | center | x+1] tap views, content + zero borders
+            pltpu.VMEM((h + 2, wp, 3 * cg), dtype),
+        ],
+    )(xg, wst, biases)
 
 
 @partial(jax.jit, static_argnames=())
@@ -156,11 +222,16 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
 
     x: (B, H, W, C); weights/biases from pack_chain_weights (any group —
     G = weights_C / C images share one packed tensor; G*C == 128 fills the
-    MXU lanes exactly, e.g. W32's C=32 with G=4). Batch-halves packing,
-    consistent with blockdiag_chain. Returns (B, H, W, C), matching the
-    unfused chain to bf16 tolerance.
+    MXU lanes exactly, e.g. W32's C=32 with G=4 — measured 1.5x over the
+    XLA blockdiag chain at that shape, PERF.md round 2). Batch-halves
+    packing, consistent with blockdiag_chain. Returns (B, H, W, C),
+    matching the unfused chain to bf16 tolerance. Falls back to
+    blockdiag_chain when W % 8 != 0 (the kernel needs aligned sublane
+    slices).
     """
     b, h, w_dim, c = x.shape
+    if not chain_pallas_ok(w_dim, x.dtype):
+        return blockdiag_chain(x, weights, biases, dtype=x.dtype)
     group = weights.shape[-1] // c
     orig_b = b
     pad = (-b) % group
@@ -172,32 +243,7 @@ def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
     step = b // group
     xg = jnp.concatenate([x[g * step:(g + 1) * step] for g in range(group)],
                          axis=-1)
-
-    dtype = x.dtype
-    if w_dim % 8:
-        raise ValueError('fused_basic_chain requires W % 8 == 0 (aligned '
-                         'sublane slices); use blockdiag_chain instead')
-    wp = (w_dim + 2 + 7) // 8 * 8  # content cols [0,W), shifted views need W+1
-    out = pl.pallas_call(
-        _chain_kernel,
-        grid=(b // group,),
-        in_specs=[
-            pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b // group, h, w_dim, cg), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2, wp, cg), dtype),   # xp: content + zero borders
-            pltpu.VMEM((h + 2, wp, cg), dtype),   # shl: x-1 view
-            pltpu.VMEM((h + 2, wp, cg), dtype),   # shr: x+1 view
-            pltpu.VMEM((h, w_dim, cg), dtype),    # res
-        ],
-    )(xg, weights.astype(dtype), biases)
-
+    out = chain_pallas_grouped(xg, weights, biases)
     out = jnp.concatenate([out[..., g * c:(g + 1) * c] for g in range(group)],
                           axis=0)
     return out[:orig_b]

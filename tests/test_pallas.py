@@ -163,6 +163,61 @@ def test_hrnet_apply_with_fuse_up_pallas(rng):
     assert out.shape == (2, 16, 16, 5)
 
 
+def test_grouped_trunk_pallas_chain_matches_plain(rng):
+    """Grouped trunk with the 128-lane Pallas chain on grouped branch0
+    (W32's G=4 x C=32 production path) == plain apply (f32, interpreter)."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet, hrnet_fast
+    from simple_hrnet_tpu.models import layers as L
+
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=32,
+                                          nof_joints=5))
+    packed = hrnet_fast.pack_grouped(params, group=4, pallas_chains=True)
+    assert 'chain0' in packed['stage2']['0']['branches']
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    y0 = hrnet.apply(params, x)
+    y1 = hrnet_fast.apply_grouped(params, packed, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_fused_chain_auto_mode_and_fallback(rng):
+    """pack_fused_chains(mode='auto') picks pallas only at 128 packed
+    lanes, and fused_basic_chain falls back to blockdiag on W % 8 != 0."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.ops.pallas.fused_block import (fused_basic_chain,
+                                                         pack_chain_weights)
+
+    p32 = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=32,
+                                       nof_joints=5))
+    modes32 = {m for m, _, _ in hrnet.pack_fused_chains(p32).values()}
+    assert modes32 == {'pallas'}  # 32 x G=4 == 128 lanes
+    p48 = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(1), c=48,
+                                       nof_joints=5))
+    modes48 = {m for m, _, _ in hrnet.pack_fused_chains(p48).values()}
+    assert modes48 == {'blockdiag'}  # 48 x G=2 == 96 lanes: XLA wins
+
+    # W % 8 != 0 silently takes the blockdiag path (no Mosaic constraint)
+    C = 16
+    key = jax.random.PRNGKey(0)
+    blocks = []
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        blocks.append(L.fold_batch_norm(L.init_basic_block(k, C, C)))
+    wts, bias = pack_chain_weights(blocks, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 16, 12, C)), jnp.float32)
+    y_ref = x
+    for bp in blocks:
+        y_ref = L.basic_block(bp, y_ref)
+    y = fused_basic_chain(x, wts, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_grouped_trunk_matches_plain(rng):
     """hrnet_fast.apply_grouped == hrnet.apply (f32, CPU)."""
     import jax
