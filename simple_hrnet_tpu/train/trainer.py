@@ -332,6 +332,26 @@ class COCOTrain(Train):
             preds, boxes, self._image_paths, output_dir=self.log_path)
 
 
+class MPIITrain(COCOTrain):
+    """MPII trainer: identical epoch-pred accumulation (final preds in
+    original image coordinates), but the dataset's overall metric is
+    PCKh@0.5 (data/mpii.py) instead of COCO AP. Meaningful on an
+    order-preserving (non-shuffled) loader — the official MPII protocol
+    matches predictions to annotations positionally."""
+
+    def _train(self):
+        self._reset_epoch_preds()
+        Train._train(self)
+        print('\nTrain PCKh@0.5')
+        self.train_accs, self.mean_mAP_train = self._overall(self.ds_train)
+
+    def _val(self):
+        self._reset_epoch_preds()
+        Train._val(self)
+        print('\nVal PCKh@0.5')
+        self.val_accs, self.mean_mAP_val = self._overall(self.ds_val)
+
+
 def _merge_matching(dst: Dict[str, Any], src: Dict[str, Any]) -> Dict[str, Any]:
     """Copy leaves from src whose path+shape match dst (strict=False load)."""
     if not isinstance(dst, dict):

@@ -284,3 +284,40 @@ def _pycocotools_eval(gt_annotations: dict, results: List[dict]):
     names = ['AP', 'Ap .5', 'AP .75', 'AP (M)', 'AP (L)', 'AR', 'AR .5',
              'AR .75', 'AR (M)', 'AR (L)']
     return dict(zip(names, ev.stats))
+
+
+# ---------------------------------------------------------------------------
+# MPII PCKh (capability beyond the reference — it ships no MPII eval)
+# ---------------------------------------------------------------------------
+
+MPII_JOINT_NAMES = ['Ankle', 'Knee', 'Hip', 'Hip', 'Knee', 'Ankle',
+                    'Pelvis', 'Thorax', 'Neck', 'Head', 'Wrist', 'Elbow',
+                    'Shoulder', 'Shoulder', 'Elbow', 'Wrist']
+
+
+def evaluate_pckh(preds: np.ndarray, gts: np.ndarray, vis: np.ndarray,
+                  head_sizes: np.ndarray, thr: float = 0.5) -> dict:
+    """PCKh@thr: fraction of visible joints within thr * head size.
+
+    preds/gts: (N, 16, 2) original-image (x, y); vis: (N, 16) 0/1;
+    head_sizes: (N,). Follows the official MPII protocol (per-joint
+    correctness normalized by the annotated head size; left/right sides
+    pooled per joint name in the aggregate table). Returns a dict of
+    per-joint-name PCKh values plus 'Mean'.
+    """
+    preds = np.asarray(preds, np.float64)
+    gts = np.asarray(gts, np.float64)
+    vis = np.asarray(vis, np.float64) > 0
+    head = np.maximum(np.asarray(head_sizes, np.float64), 1e-6)
+
+    dist = np.linalg.norm(preds - gts, axis=-1) / head[:, None]  # (N, 16)
+    correct = (dist <= thr) & vis
+
+    out = {}
+    for name in dict.fromkeys(MPII_JOINT_NAMES):  # keep order, dedupe
+        idx = [i for i, n in enumerate(MPII_JOINT_NAMES) if n == name]
+        n_vis = vis[:, idx].sum()
+        out[name] = float(correct[:, idx].sum() / n_vis) if n_vis else 0.0
+    total_vis = vis.sum()
+    out['Mean'] = float(correct.sum() / total_vis) if total_vis else 0.0
+    return out
