@@ -90,7 +90,7 @@ def measure_tpu_fps() -> float:
         return means.sum()
 
     times = {}
-    for iters in (2, 22):
+    for iters in (2, 42):
         f = jax.jit(lambda p, pk, v, n=iters: chained(p, pk, v, n))
         float(f(params, packed, x))  # compile + run once
         best = float('inf')
@@ -99,7 +99,7 @@ def measure_tpu_fps() -> float:
             float(f(params, packed, x))  # scalar readback forces completion
             best = min(best, time.perf_counter() - t0)
         times[iters] = best
-    dt = (times[22] - times[2]) / 20
+    dt = (times[42] - times[2]) / 40
     return BATCH / dt
 
 

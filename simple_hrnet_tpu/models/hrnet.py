@@ -120,9 +120,17 @@ def apply_stage_module(p: Params, xs: List[jnp.ndarray], n_branches: int,
 
 def _fuse_up_ok(fl: Params, xs: List[jnp.ndarray], n_branches: int,
                 enabled: bool, kw: dict) -> bool:
-    """Gate for the Pallas fuse_up path: inference, folded BN, shapes ok."""
+    """Gate for the Pallas fuse_up path: inference, folded BN, shapes ok.
+    On CPU the kernel would run interpreted (very slow) — opt-in only
+    (SHT_PALLAS_CPU_INTERPRET=1, same switch as the chain kernel)."""
     if not enabled or kw.get('train'):
         return False
+    import jax as _jax
+    if _jax.default_backend() == 'cpu':
+        from simple_hrnet_tpu.ops.pallas.fused_block import (
+            cpu_interpret_enabled)
+        if not cpu_interpret_enabled():
+            return False
     for j in range(1, n_branches):
         if '1' in fl['0'][str(j)]:  # unfolded BN present
             return False

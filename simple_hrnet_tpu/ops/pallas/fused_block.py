@@ -26,7 +26,6 @@ load): (8, 3, 3, GC, GC) block-diagonal + (8, GC) f32 biases.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -164,18 +163,30 @@ def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xw_ref):
             load_center(out_ref[0])
 
 
+def cpu_interpret_enabled() -> bool:
+    """Opt-in for running production-path Pallas kernels through the
+    interpreter on CPU (SHT_PALLAS_CPU_INTERPRET=1). Parity tests enable
+    it; by default CPU execution falls back to the XLA formulations —
+    interpreter-mode kernels are orders of magnitude slower and would
+    drag every CPU facade test through them."""
+    import os
+    return os.environ.get('SHT_PALLAS_CPU_INTERPRET', '0') == '1'
+
+
 def chain_pallas_ok(w_dim: int, dtype) -> bool:
     """Can the compiled chain kernel run at this shape/dtype?
 
     Needs W % 8 == 0 (aligned sublane slices). In f32 on a REAL TPU the
     kernel's VMEM footprint (wide tap buffer + f32 weights + Mosaic's
     double-buffered in/out blocks) exceeds the 16MB budget at production
-    shapes — f32 falls back to the XLA blockdiag chain (interpret mode on
-    CPU has no VMEM limit, so f32 parity tests still exercise the kernel).
+    shapes — f32 falls back to the XLA blockdiag chain. On CPU the kernel
+    runs (interpreted, any dtype) only when SHT_PALLAS_CPU_INTERPRET=1.
     """
     if w_dim % 8:
         return False
-    return dtype != jnp.float32 or jax.default_backend() == 'cpu'
+    if jax.default_backend() == 'cpu':
+        return cpu_interpret_enabled()
+    return dtype != jnp.float32
 
 
 def chain_pallas_grouped(xg: jnp.ndarray, weights: jnp.ndarray,
@@ -215,7 +226,6 @@ def chain_pallas_grouped(xg: jnp.ndarray, weights: jnp.ndarray,
     )(xg, wst, biases)
 
 
-@partial(jax.jit, static_argnames=())
 def fused_basic_chain(x: jnp.ndarray, weights: jnp.ndarray,
                       biases: jnp.ndarray) -> jnp.ndarray:
     """Run the fused 4-BasicBlock chain.

@@ -33,8 +33,9 @@ def test_nms_pallas_matches_nms_jax(n, rng):
                                   np.asarray(ref_idx)[np.asarray(ref_valid)])
 
 
-def test_fused_basic_chain_matches_unfused(rng):
+def test_fused_basic_chain_matches_unfused(rng, monkeypatch):
     """Pallas fused 4-BasicBlock chain == sequential blocks (interpreter)."""
+    monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -140,9 +141,10 @@ def test_fuse_up_kernel_matches_xla_fuse(rng):
     assert not fuse_up_supported(base.shape, [(B, 24, 16, 96)])
 
 
-def test_hrnet_apply_with_fuse_up_pallas(rng):
+def test_hrnet_apply_with_fuse_up_pallas(rng, monkeypatch):
     """hrnet.apply(fuse_up_pallas=True) == plain apply (f32, CPU), and the
     flag is a no-op in training mode (unfolded BN)."""
+    monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
     import jax
     import jax.numpy as jnp
     from simple_hrnet_tpu.models import hrnet
@@ -163,9 +165,10 @@ def test_hrnet_apply_with_fuse_up_pallas(rng):
     assert out.shape == (2, 16, 16, 5)
 
 
-def test_grouped_trunk_pallas_chain_matches_plain(rng):
+def test_grouped_trunk_pallas_chain_matches_plain(rng, monkeypatch):
     """Grouped trunk with the 128-lane Pallas chain on grouped branch0
     (W32's G=4 x C=32 production path) == plain apply (f32, interpreter)."""
+    monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
     import jax
     import jax.numpy as jnp
     from simple_hrnet_tpu.models import hrnet, hrnet_fast
