@@ -53,7 +53,11 @@ class SimpleHRNet:
       * ``yolo_model_def``: 'yolov3', 'yolov3-tiny', or a darknet .cfg path.
       * ``enable_tensorrt`` is accepted for API compatibility; the XLA jit
         path *is* the optimized engine (see cli/export.py for AOT export).
-      * extra ``dtype``: None (f32) or 'bfloat16' for bf16 conv compute;
+      * extra ``dtype``: None (f32), 'bfloat16' for bf16 conv compute, or
+        'int8' for TRT-style post-training quantization (per-channel int8
+        weights + calibrated static activation scales on the MXU-bound
+        trunk convs, bf16 elsewhere — models/quantize.py; measured 1.4-2x
+        on the W48 bottleneck convs, PERF.md round 2c);
         ``use_fused_kernels`` (default True) enables the block-diagonal
         fast chains for HRNet inference (f32-exact; see PERF.md) —
         set False for the plain reference-shaped graph.
@@ -90,7 +94,9 @@ class SimpleHRNet:
         self.return_bounding_boxes = return_bounding_boxes
         self.max_batch_size = max_batch_size
         self.device = self._resolve_device(device)
-        self.dtype = jnp.bfloat16 if dtype in ('bfloat16', 'bf16') else None
+        self.quantize_int8 = dtype == 'int8'
+        self.dtype = jnp.bfloat16 \
+            if dtype in ('bfloat16', 'bf16', 'int8') else None
         # Multi-chip data-parallel inference (the reference's DataParallel
         # analogue, SimpleHRNet.py:123-135): crop batches are sharded over
         # the mesh's 'data' axis, params replicated; XLA handles the rest.
@@ -140,6 +146,17 @@ class SimpleHRNet:
             from simple_hrnet_tpu.utils import checkpoint as ckpt
             params = L.fold_batch_norm(ckpt.load(checkpoint_path))
 
+            amax = None
+            if self.quantize_int8:
+                if model_name in ('HRNet', 'hrnet'):
+                    cal_apply = hrnet.apply
+                elif model_name in ('PoseResNet', 'poseresnet', 'ResNet',
+                                    'resnet'):
+                    cal_apply = partial(poseresnet.apply, resnet_size=c)
+                else:
+                    raise ValueError('Wrong model name.')
+                amax = self._calibrate_int8(cal_apply, params)
+
             if model_name in ('HRNet', 'hrnet'):
                 # under a mesh the batch-halves packing would concat across
                 # the sharded axis (ICI traffic) — keep the plain graph there
@@ -158,9 +175,12 @@ class SimpleHRNet:
                     from simple_hrnet_tpu.models import hrnet_fast
                     group = min(4, max(2, 128 // c))
                     lanes_exact = (group * c == 128)
-                    params = {'p': params,
-                              'packed': hrnet_fast.pack_grouped(
-                                  params, group=group)}
+                    packed = hrnet_fast.pack_grouped(params, group=group,
+                                                     int8_amax=amax)
+                    if amax is not None:
+                        from simple_hrnet_tpu.models import quantize as Q
+                        params = Q.quantize_folded(params, amax)
+                    params = {'p': params, 'packed': packed}
 
                     def grouped_apply(bundle, x, dtype=None,
                                       _fu=lanes_exact):
@@ -170,12 +190,24 @@ class SimpleHRNet:
 
                     self._apply = grouped_apply
                 else:
+                    if amax is not None:
+                        from simple_hrnet_tpu.models import quantize as Q
+                        params = Q.quantize_folded(params, amax)
                     self._apply = hrnet.apply
             elif model_name in ('PoseResNet', 'poseresnet', 'ResNet',
                                 'resnet'):
+                if amax is not None:
+                    from simple_hrnet_tpu.models import quantize as Q
+                    params = Q.quantize_folded(params, amax)
                 self._apply = partial(poseresnet.apply, resnet_size=c)
             else:
                 raise ValueError('Wrong model name.')
+
+        if self.quantize_int8:
+            # calibration turned the leaves into numpy in place; move the
+            # final tree (quantized + packed) back to device arrays so jit
+            # calls don't re-transfer per predict
+            params = jax.tree_util.tree_map(jnp.asarray, params)
 
         self.params = params
         if self.mesh is not None:
@@ -204,6 +236,52 @@ class SimpleHRNet:
         self._single_jit: Dict[tuple, Any] = {}
         self._crop_jit: Dict[int, Any] = {}
         self._fused_jit: Dict[tuple, Any] = {}
+
+    def _calibrate_int8(self, apply_fn, params):
+        """Activation-scale calibration for int8 (models/quantize.py).
+
+        Runs one EAGER forward (on the CPU backend — eager op dispatch
+        through the TPU relay would pay one RTT per conv) on a smooth
+        synthetic batch at the model resolution, normalized exactly like
+        production inputs. TRT-style file-based calibration data can be
+        supplied by assigning ``SimpleHRNet.calibration_images`` (HWC RGB
+        uint8 arrays) before construction via subclassing; the synthetic
+        default keeps argmax parity on random weights (test_quantize.py)
+        and real-weight AP should be validated with
+        scripts/validate_goldens.py.
+        """
+        import numpy as np
+        from simple_hrnet_tpu.models import quantize as Q
+        from simple_hrnet_tpu.ops import image as I
+        h, w = self.resolution
+        rng = np.random.default_rng(0)
+        coarse = rng.uniform(0, 255, (2, h // 8, w // 8, 3))
+        imgs = np.kron(coarse.transpose(0, 3, 1, 2),
+                       np.ones((8, 8))).transpose(0, 2, 3, 1)
+        batch = (imgs / 255.0 - np.asarray(I.IMAGENET_MEAN)) \
+            / np.asarray(I.IMAGENET_STD)
+
+        # amax is keyed by node-dict identity, so the tree must keep its
+        # OBJECT structure across calibration -> pack -> quantize. Convert
+        # leaves to numpy IN PLACE (dict ids preserved) so the eager
+        # forward runs on the CPU backend instead of paying one relay RTT
+        # per conv; leaves are re-converted to device arrays afterwards.
+        def to_np(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    to_np(v)
+                else:
+                    tree[k] = np.asarray(v)
+        to_np(params)
+        try:
+            cpu = jax.local_devices(backend='cpu')[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != 'cpu':
+            with jax.default_device(cpu):
+                return Q.calibrate(apply_fn, params,
+                                   [batch.astype(np.float32)])
+        return Q.calibrate(apply_fn, params, [batch.astype(np.float32)])
 
     @staticmethod
     def _resolve_device(device):

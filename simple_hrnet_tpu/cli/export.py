@@ -13,18 +13,19 @@ import ast
 
 
 def main(weights='./weights/pose_hrnet_w48_384x288.pth', half=False,
-         output=None, batch_size=16, hrnet_c=48, hrnet_j=17,
-         hrnet_m='HRNet', image_resolution='(384, 288)'):
+         int8=False, fused=False, output=None, batch_size=16, hrnet_c=48,
+         hrnet_j=17, hrnet_m='HRNet', image_resolution='(384, 288)'):
     from simple_hrnet_tpu.utils.export import export_engine
 
     if isinstance(image_resolution, str):
         image_resolution = ast.literal_eval(image_resolution)
     if output is None:
-        suffix = '_half' if half else ''
+        suffix = '_int8' if int8 else ('_half' if half else '')
         output = weights.rsplit('.', 1)[0] + suffix + '.jaxpose'
     path = export_engine(output, weights, c=hrnet_c, nof_joints=hrnet_j,
                          model_name=hrnet_m, resolution=image_resolution,
-                         batch_size=batch_size, half=half)
+                         batch_size=batch_size, half=half, int8=int8,
+                         fused=fused)
     print(f'Engine written to {path}')
 
 
@@ -33,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--weights', '-w', type=str,
                         default='./weights/pose_hrnet_w48_384x288.pth')
     parser.add_argument('--half', help='bf16 compute (fp16 analogue)',
+                        action='store_true')
+    parser.add_argument('--int8', help='TRT-style int8 post-training '
+                        'quantization (calibrated; implies bf16 elsewhere)',
+                        action='store_true')
+    parser.add_argument('--fused', help='bake the grouped block-diagonal '
+                        'trunk into the engine (pure-XLA, portable)',
                         action='store_true')
     parser.add_argument('--output', '-o', type=str, default=None)
     parser.add_argument('--batch_size', '-b', type=int, default=16)

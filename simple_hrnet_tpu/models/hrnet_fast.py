@@ -59,7 +59,8 @@ def _pack_tree(tree: Params, group: int) -> Params:
 
 def pack_grouped(folded_params: Params, group: int = 2,
                  group_stem: bool = False,
-                 pallas_chains: bool = True) -> Params:
+                 pallas_chains: bool = True,
+                 int8_amax: Optional[Dict[int, float]] = None) -> Params:
     """Block-diagonal weights for the trunk (transitions + stages).
 
     Call on FOLDED params. Branch blocks listed in UNGROUPED_BRANCHES are
@@ -73,6 +74,13 @@ def pack_grouped(folded_params: Params, group: int = 2,
     chain weights for the VMEM-resident Pallas kernel (measured 1.5x over
     the XLA blockdiag chain at that shape — PERF.md round 2); the apply
     falls back to per-block convs when the spatial width is unaligned.
+
+    ``int8_amax``: calibration amaxes ({id(conv_node): input amax} from
+    models/quantize.calibrate on ``folded_params``). When given, grouped
+    branch chains whose packed width is NOT 128 lanes (where the Pallas
+    bf16 kernel would win instead) are additionally packed as int8
+    (``chain{b}_q``) — measured 1.41x over the bf16 blockdiag at W48's
+    96 lanes (PERF.md round 2c).
     """
     packed: Params = {}
     for key in ('transition1', 'transition2', 'transition3'):
@@ -98,6 +106,13 @@ def pack_grouped(folded_params: Params, group: int = 2,
                     w, bias = pack_chain_weights(blocks, jnp.float32,
                                                  group=group)
                     branches[f'chain{b}'] = {'w': w, 'b': bias}
+                elif int8_amax is not None and all(
+                        id(blk[ck]) in int8_amax
+                        for blk in blocks for ck in ('conv1', 'conv2')):
+                    from simple_hrnet_tpu.ops.pallas.fused_block import (
+                        pack_chain_weights_int8)
+                    branches[f'chain{b}_q'] = pack_chain_weights_int8(
+                        blocks, int8_amax, group=group)
             ps[str(m)] = {'branches': branches,
                           'fuse_layers': _pack_tree(sp['fuse_layers'], group)}
         packed[stage] = ps
@@ -132,6 +147,13 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
                                    **kw)
             xs[b] = _group(xu, group)
         else:
+            chain_q = packed_m['branches'].get(f'chain{b}_q')
+            if chain_q is not None:
+                from simple_hrnet_tpu.ops.pallas.fused_block import (
+                    blockdiag_chain_int8_grouped)
+                xs[b] = blockdiag_chain_int8_grouped(
+                    xs[b], chain_q, dtype=dtype or jnp.float32)
+                continue
             chain = packed_m['branches'].get(f'chain{b}')
             if chain is not None:
                 from simple_hrnet_tpu.ops.pallas.fused_block import (
@@ -175,8 +197,10 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
 def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
                   dtype=None, fuse_up_pallas: bool = False) -> jnp.ndarray:
     """Forward with the grouped trunk (pads odd batches internally)."""
-    # group is static (derived from shapes, safe under jit tracing)
-    c_base = params['transition1']['0']['0']['kernel'].shape[3]
+    # group is static (derived from shapes, safe under jit tracing);
+    # ``params`` may carry int8-quantized nodes (kernel_q) — models/quantize
+    t1n = params['transition1']['0']['0']
+    c_base = (t1n['kernel'] if 'kernel' in t1n else t1n['kernel_q']).shape[3]
     group = packed['transition1']['0']['0']['kernel'].shape[3] // c_base
     orig_b = x.shape[0]
     pad = (-orig_b) % group

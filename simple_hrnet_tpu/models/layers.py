@@ -38,6 +38,12 @@ Params = Dict[str, Any]
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch convention: new = (1 - m) * old + m * batch
 
+# Calibration collector for int8 quantization (models/quantize.py): when a
+# dict is installed here, every EAGER conv2d call records the running amax
+# of its input keyed by id(param_node). Jitted calls never see it (the
+# check happens at trace time with a None collector in production).
+_QCAL: Optional[Dict[int, float]] = None
+
 
 # ---------------------------------------------------------------------------
 # Primitive ops
@@ -49,7 +55,34 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
 
     ``p`` holds ``kernel`` (HWIO) and optionally ``bias`` (folded-BN convs and
     the final 1x1 layers carry a bias).
+
+    Quantized nodes (models/quantize.py) carry ``kernel_q`` (int8 HWIO),
+    ``wscale`` (per-output-channel f32) and ``ascale`` (static per-tensor
+    input scale from calibration) instead of ``kernel``: the input is
+    quantized symmetrically to int8, the conv contracts on the MXU's int8
+    path with int32 accumulation (2x the bf16 peak on v5e), and the result
+    is dequantized + biased in f32 before casting to the compute dtype.
+    This is the TensorRT-int8 analogue of the reference's engine export
+    (/root/reference/scripts/export-tensorrt-model.py:41 exposes fp16 only;
+    int8 is the standard TRT step beyond it).
     """
+    if 'kernel_q' in p:
+        inv_s = 1.0 / p['ascale']
+        vq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_s),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            vq, p['kernel_q'],
+            window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (p['ascale'] * p['wscale'])
+        if 'bias' in p:
+            out = out + p['bias']
+        return out.astype(dtype) if dtype is not None else out
+    if _QCAL is not None and not isinstance(x, jax.core.Tracer):
+        _QCAL[id(p)] = max(_QCAL.get(id(p), 0.0),
+                           float(jnp.max(jnp.abs(x))))
     kernel = p['kernel']
     if dtype is not None:
         x = x.astype(dtype)

@@ -103,6 +103,73 @@ def pack_chain_weights(block_params: list, dtype=jnp.bfloat16,
     return jnp.asarray(w, dtype), jnp.asarray(b, jnp.float32)
 
 
+def pack_chain_weights_int8(block_params: list, amax: dict,
+                            group: int = 2):
+    """Quantize a 4-BasicBlock chain for the int8 blockdiag path.
+
+    ``amax``: {id(conv_node): input amax} from models/quantize.calibrate
+    run on the UNGROUPED tree (per-tensor amax is invariant under the
+    batch-halves channel packing — same values, different layout).
+
+    Returns dict(wq (8,3,3,GC,GC) int8 block-diag, wscale (8,GC) f32
+    per-output-channel, b (8,GC) f32 biases, ascales (8,) f32 input
+    scales). Measured 1.41x over the bf16 XLA blockdiag at W48's 96
+    packed lanes (PERF.md round 2c); at 128 lanes the Pallas bf16 kernel
+    stays faster — pack_grouped gates accordingly.
+    """
+    convs = []
+    for bp in block_params:
+        convs.append(bp['conv1'])
+        convs.append(bp['conv2'])
+    c = convs[0]['kernel'].shape[2]
+    cg = group * c
+    wq = np.zeros((8, 3, 3, cg, cg), np.int8)
+    ws = np.ones((8, cg), np.float32)
+    b = np.zeros((8, cg), np.float32)
+    ascales = np.zeros((8,), np.float32)
+    for i, conv in enumerate(convs):
+        k = np.asarray(conv['kernel'], np.float32)
+        s = np.max(np.abs(k), axis=(0, 1, 2)) / 127.0
+        s = np.where(s == 0.0, 1.0, s)
+        kq = np.clip(np.round(k / s), -127, 127).astype(np.int8)
+        bias = np.asarray(conv.get('bias', np.zeros(c)), np.float32)
+        for g in range(group):
+            wq[i, :, :, g * c:(g + 1) * c, g * c:(g + 1) * c] = kq
+            ws[i, g * c:(g + 1) * c] = s
+            b[i, g * c:(g + 1) * c] = bias
+        ascales[i] = amax[id(conv)] / 127.0
+    return {'wq': jnp.asarray(wq), 'wscale': jnp.asarray(ws),
+            'b': jnp.asarray(b), 'ascales': jnp.asarray(ascales)}
+
+
+def blockdiag_chain_int8_grouped(xg: jnp.ndarray, q: dict,
+                                 dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Int8 4-BasicBlock chain on an ALREADY-grouped tensor (B', H, W, CG).
+
+    Each conv: static-scale symmetric int8 quantization of the input
+    (TRT-style calibration scales — no runtime amax reduction), int8 conv
+    with int32 accumulation on the MXU's 2x-rate int8 path, f32
+    dequantize + bias; ReLU/residual in f32, handoff in ``dtype``.
+    """
+    wq, ws, b, asc = q['wq'], q['wscale'], q['b'], q['ascales']
+
+    def qconv(v, i):
+        vq = jnp.clip(jnp.round(v.astype(jnp.float32) * (1.0 / asc[i])),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            vq, wq[i], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (asc[i] * ws[i]) + b[i]
+
+    v = xg
+    for blk in range(4):
+        res = v.astype(jnp.float32)
+        mid = jnp.maximum(qconv(v, 2 * blk), 0.0).astype(dtype)
+        v = jnp.maximum(qconv(mid, 2 * blk + 1) + res, 0.0).astype(dtype)
+    return v
+
+
 def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xw_ref):
     """One grid step = one packed image group; x/out blocks are
     (1, H, W, CG), w_ref is (8, 3, 3*CG, CG) with the three kx taps stacked

@@ -28,9 +28,19 @@ import numpy as np
 def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
                   nof_joints: int = 17, model_name: str = 'HRNet',
                   resolution: Tuple[int, int] = (384, 288),
-                  batch_size: int = 16, half: bool = False) -> str:
-    """Build + serialize the AOT forward. ``half`` = bf16 compute (the
-    analogue of the reference's fp16 TensorRT mode)."""
+                  batch_size: int = 16, half: bool = False,
+                  int8: bool = False, fused: bool = False) -> str:
+    """Build + serialize the AOT forward.
+
+    ``half`` = bf16 compute (the analogue of the reference's fp16 TensorRT
+    mode); ``int8`` = TRT-style post-training quantization (per-channel
+    int8 weights + calibrated activation scales on the MXU-bound convs,
+    models/quantize.py — implies bf16 elsewhere); ``fused`` = bake the
+    grouped block-diagonal trunk (models/hrnet_fast.py) into the engine.
+    Fused engines use the pure-XLA formulations (no Mosaic custom calls)
+    so the serialized module stays portable across backends — the Pallas
+    chain/fuse_up kernels remain a facade-only optimization.
+    """
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -40,11 +50,67 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
     from simple_hrnet_tpu.utils import checkpoint as ckpt
 
     params = L.fold_batch_norm(ckpt.load(checkpoint_path))
+    if int8:
+        half = True
     dtype = jnp.bfloat16 if half else None
+
+    amax = None
+    if int8:
+        from simple_hrnet_tpu.models import quantize as Q
+        from simple_hrnet_tpu.ops import image as I
+        if model_name in ('HRNet', 'hrnet'):
+            cal_apply = hrnet.apply
+        else:
+            cal_apply = partial(poseresnet.apply, resnet_size=c)
+
+        def to_np(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    to_np(v)
+                else:
+                    tree[k] = np.asarray(v)
+        to_np(params)
+        rng = np.random.default_rng(0)
+        h, w = resolution
+        coarse = rng.uniform(0, 255, (2, h // 8, w // 8, 3))
+        imgs = np.kron(coarse.transpose(0, 3, 1, 2),
+                       np.ones((8, 8))).transpose(0, 2, 3, 1)
+        cal = ((imgs / 255.0 - np.asarray(I.IMAGENET_MEAN))
+               / np.asarray(I.IMAGENET_STD)).astype(np.float32)
+        try:
+            cpu = jax.local_devices(backend='cpu')[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != 'cpu':
+            with jax.default_device(cpu):
+                amax = Q.calibrate(cal_apply, params, [cal])
+        else:
+            amax = Q.calibrate(cal_apply, params, [cal])
+
     if model_name in ('HRNet', 'hrnet'):
-        fwd = lambda p, x: hrnet.apply(p, x, dtype=dtype)
+        if fused:
+            from simple_hrnet_tpu.models import hrnet_fast
+            from simple_hrnet_tpu.models import quantize as Q
+            group = min(4, max(2, 128 // c))
+            packed = hrnet_fast.pack_grouped(params, group=group,
+                                             pallas_chains=False,
+                                             int8_amax=amax)
+            if amax is not None:
+                params = Q.quantize_folded(params, amax)
+            params = {'p': params, 'packed': packed}
+            fwd = lambda b, x: hrnet_fast.apply_grouped(
+                b['p'], b['packed'], x, dtype=dtype)
+        else:
+            if amax is not None:
+                from simple_hrnet_tpu.models import quantize as Q
+                params = Q.quantize_folded(params, amax)
+            fwd = lambda p, x: hrnet.apply(p, x, dtype=dtype)
     else:
+        if amax is not None:
+            from simple_hrnet_tpu.models import quantize as Q
+            params = Q.quantize_folded(params, amax)
         fwd = lambda p, x: poseresnet.apply(p, x, resnet_size=c, dtype=dtype)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
     x_spec = jax.ShapeDtypeStruct((batch_size, *resolution, 3), jnp.float32)
     p_spec = jax.tree_util.tree_map(
@@ -56,7 +122,7 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
     np.savez(buf, **_flatten(jax.device_get(params)))
     meta = {'c': c, 'nof_joints': nof_joints, 'model_name': model_name,
             'resolution': list(resolution), 'batch_size': batch_size,
-            'half': half}
+            'half': half, 'int8': int8, 'fused': fused}
 
     with zipfile.ZipFile(out_path, 'w') as z:
         z.writestr('module.shlo', exported.serialize())

@@ -1,0 +1,246 @@
+"""Int8 post-training quantization (models/quantize.py).
+
+The int8 conv itself is bit-exact integer arithmetic on every backend
+(pinned below); the quantization error budget is the scales, pinned via
+rel-error bounds and end-to-end heatmap argmax parity on a random-weight
+HRNet — the same guarantee TRT int8 gives (calibrated engines keep peak
+locations; absolute values shift by <~1%).
+"""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (forces CPU + 8 virtual devices)
+
+import jax
+import jax.numpy as jnp
+
+from simple_hrnet_tpu.models import hrnet
+from simple_hrnet_tpu.models import layers as L
+from simple_hrnet_tpu.models import quantize as Q
+
+
+def test_int8_conv_matches_integer_reference(rng):
+    """The quantized conv's integer core is exact: int8 conv == f32 conv of
+    the quantized operands (no hidden saturation/rounding in the backend)."""
+    x = rng.standard_normal((2, 16, 12, 32)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 32, 32)) * 0.1).astype(np.float32)
+    node = {'kernel': jnp.asarray(k), 'bias': jnp.zeros((32,))}
+    qnode = Q.quantize_folded({'c': node}, {id(node): float(np.abs(x).max())},
+                              policy=lambda s: True)['c']
+    got = L.conv2d(jnp.asarray(x), qnode, stride=1, padding=1)
+
+    a = float(qnode['ascale'])
+    xq = np.clip(np.round(x / a), -127, 127)
+    kq = np.asarray(qnode['kernel_q'], np.float32)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xq * a), jnp.asarray(kq) * qnode['wscale'],
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_conv_rel_error_bound(rng):
+    """8-bit symmetric quantization of a single conv stays under ~2% rel
+    error on gaussian data (the per-layer budget the policy assumes)."""
+    x = rng.standard_normal((2, 24, 18, 48)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 48, 48)) * 0.08).astype(np.float32)
+    node = {'kernel': jnp.asarray(k)}
+    f32 = L.conv2d(jnp.asarray(x), node, stride=1, padding=1)
+    qnode = Q.quantize_folded({'c': node}, {id(node): float(np.abs(x).max())},
+                              policy=lambda s: True)['c']
+    q = L.conv2d(jnp.asarray(x), qnode, stride=1, padding=1)
+    rel = float(jnp.linalg.norm(q - f32) / jnp.linalg.norm(f32))
+    assert rel < 0.02, rel
+
+
+def test_calibrate_and_policy_selection(rng):
+    """Calibration records every eager conv input; the default policy
+    quantizes the 3x3 C-in-[16,128] trunk and leaves the stem (C_in=3)
+    and the final 1x1 decode layer untouched."""
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=32,
+                                          nof_joints=17))
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    qp = Q.quantize_model(lambda p, v: hrnet.apply(p, v), params, [x])
+
+    assert 'kernel' in qp['conv1'], 'image stem must stay unquantized'
+    assert 'kernel' in qp['final_layer'], 'decode 1x1 must stay unquantized'
+    # branch convs (C=32/64/128) are the targets
+    assert 'kernel_q' in qp['stage2']['0']['branches']['0']['0']['conv1']
+    leaves = []
+
+    def count(t):
+        if isinstance(t, dict):
+            if 'kernel_q' in t:
+                leaves.append(t)
+            for v in t.values():
+                count(v)
+    count(qp)
+    assert len(leaves) > 30, f'only {len(leaves)} convs quantized'
+    for t in leaves:
+        ci, co = t['kernel_q'].shape[2], t['kernel_q'].shape[3]
+        assert 16 <= ci <= 128 and 16 <= co <= 128
+
+
+def test_int8_hrnet_heatmap_parity(rng):
+    """End-to-end: int8 HRNet keeps the f32 model's heatmap argmax on a
+    smooth input, and the heatmaps stay within a few percent."""
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(1), c=32,
+                                          nof_joints=17))
+    # smooth image-like input: coarse noise field upsampled 8x
+    coarse = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    x = np.kron(coarse.transpose(0, 3, 1, 2),
+                np.ones((8, 8), np.float32)).transpose(0, 2, 3, 1)
+    qp = Q.quantize_model(lambda p, v: hrnet.apply(p, v), params,
+                          [x.astype(np.float32)])
+
+    hm32 = np.asarray(hrnet.apply(params, jnp.asarray(x)))
+    hmq = np.asarray(hrnet.apply(qp, jnp.asarray(x)))
+    rel = np.linalg.norm(hmq - hm32) / np.linalg.norm(hm32)
+    assert rel < 0.05, rel
+    h, w = hm32.shape[1:3]
+    flat32 = hm32.reshape(2, -1, 17).argmax(axis=1)
+    flatq = hmq.reshape(2, -1, 17).argmax(axis=1)
+    agree = np.mean(flat32 == flatq)
+    assert agree >= 0.8, agree
+    # random-weight heatmaps have near-flat maxima, so when the argmax
+    # moves it must move to a nearby, near-equal peak — pin peak-value
+    # closeness rather than exact location
+    peak32 = hm32.reshape(2, -1, 17).max(axis=1)
+    peakq = hmq.reshape(2, -1, 17).max(axis=1)
+    np.testing.assert_allclose(peakq, peak32,
+                               atol=0.05 * np.abs(peak32).max())
+
+
+def test_quantized_apply_is_jittable(rng):
+    """The quantized tree runs under jit with static scales baked in as
+    ordinary params (no retrace per batch)."""
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(2), c=32,
+                                          nof_joints=17))
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    qp = Q.quantize_model(lambda p, v: hrnet.apply(p, v), params, [x])
+    f = jax.jit(lambda p, v: hrnet.apply(p, v, dtype=jnp.bfloat16))
+    y1 = f(qp, jnp.asarray(x))
+    y2 = f(qp, jnp.asarray(x * 0.5))
+    assert y1.shape == (1, 16, 16, 17) and not np.allclose(y1, y2)
+
+
+def test_int8_packed_chain_matches_per_conv_quantized(rng):
+    """The packed int8 chain (blockdiag_chain_int8_grouped) reproduces the
+    per-conv quantized BasicBlock chain exactly — same scales, same int8
+    weights block-diag tiled, exact int32 conv cores, f32 handoffs."""
+    from simple_hrnet_tpu.ops.pallas import fused_block as FB
+
+    c, group = 32, 2
+    blocks, amax = [], {}
+    x = rng.standard_normal((4, 16, 16, c)).astype(np.float32)
+    for i in range(4):
+        blk = {}
+        for ck in ('conv1', 'conv2'):
+            blk[ck] = {'kernel': jnp.asarray(
+                rng.standard_normal((3, 3, c, c)).astype(np.float32) * 0.1),
+                'bias': jnp.asarray(
+                    rng.standard_normal(c).astype(np.float32) * 0.05)}
+        blocks.append(blk)
+
+    # reference: per-conv quantized chain via layers.conv2d, recording the
+    # same calibration amaxes the packed path consumes
+    v = jnp.asarray(x)
+    qnodes = []
+    for blk in blocks:
+        res = v
+        for j, ck in enumerate(('conv1', 'conv2')):
+            amax[id(blk[ck])] = float(jnp.max(jnp.abs(v)))
+            qn = Q.quantize_folded(
+                {'c': blk[ck]}, {id(blk[ck]): amax[id(blk[ck])]},
+                policy=lambda s: True)['c']
+            qnodes.append(qn)
+            v = L.conv2d(v, qn, stride=1, padding=1)
+            v = jnp.maximum(v + (res if j == 1 else 0.0), 0.0)
+    ref = v
+
+    q = FB.pack_chain_weights_int8(blocks, amax, group=group)
+    step = x.shape[0] // group
+    xg = jnp.concatenate([jnp.asarray(x[g * step:(g + 1) * step])
+                          for g in range(group)], axis=-1)
+    out = FB.blockdiag_chain_int8_grouped(xg, q, dtype=jnp.float32)
+    got = jnp.concatenate([out[..., g * c:(g + 1) * c] for g in range(group)],
+                          axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_int8_grouped_model_close_to_plain_quantized(rng):
+    """apply_grouped with int8 chains tracks the plain quantized forward.
+
+    Not bit-equal by design: the grouped path keeps transitions/fuse-down
+    convs in f32 packed form (they are 1x1/small and int8 loses there),
+    while the plain quantized tree quantizes every policy-accepted conv —
+    so the two differ by those convs' quantization error only."""
+    from simple_hrnet_tpu.models import hrnet_fast
+
+    params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(3), c=32,
+                                          nof_joints=17))
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    amax = Q.calibrate(lambda p, v: hrnet.apply(p, v), params, [x])
+    # group=2 -> 64 packed lanes != 128: the int8 chains engage (at 128
+    # the Pallas bf16 kernel wins and pack_grouped keeps it instead)
+    packed = hrnet_fast.pack_grouped(params, group=2, int8_amax=amax)
+    found = [k for k in packed['stage2']['0']['branches']
+             if k.endswith('_q')]
+    assert found, 'int8 chain entries missing from packed tree'
+
+    qp = Q.quantize_folded(params, amax)
+    ref = np.asarray(hrnet.apply(qp, jnp.asarray(x)))
+    got = np.asarray(hrnet_fast.apply_grouped(qp, packed, jnp.asarray(x)))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+
+
+def test_facade_int8(tmp_path, rng):
+    """SimpleHRNet(dtype='int8') calibrates, quantizes and predicts."""
+    import conftest as _c
+    _c.reference_on_path()
+    import torch
+    from models_.hrnet import HRNet as TorchHRNet
+    from simple_hrnet_tpu.api import SimpleHRNet
+
+    torch.manual_seed(0)
+    path = tmp_path / 'pose_hrnet_w32.pth'
+    torch.save(TorchHRNet(c=32, nof_joints=17).state_dict(), str(path))
+
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    m8 = SimpleHRNet(32, 17, str(path), multiperson=False,
+                     resolution=(64, 64), dtype='int8')
+    mf = SimpleHRNet(32, 17, str(path), multiperson=False,
+                     resolution=(64, 64))
+    pts8 = m8.predict(img)
+    ptsf = mf.predict(img)
+    assert pts8.shape == ptsf.shape == (1, 17, 3)
+    # int8 keypoints stay near the f32 ones on the 16x16 heatmap grid
+    assert np.median(np.abs(pts8[..., :2] - ptsf[..., :2])) <= 8.0
+
+
+def test_int8_fused_engine_export(tmp_path, rng):
+    """--int8 --fused engines: calibrated int8 + grouped trunk baked into
+    the serialized module; outputs track the live f32 model."""
+    import jax
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+    from simple_hrnet_tpu.utils.export import Engine, export_engine
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=32, nof_joints=17)
+    ckpt_path = str(tmp_path / 'w32.npz')
+    ckpt.save(ckpt_path, params)
+    out = export_engine(str(tmp_path / 'w32_int8.jaxpose'), ckpt_path, c=32,
+                        model_name='HRNet', resolution=(64, 64),
+                        batch_size=2, int8=True, fused=True)
+    engine = Engine(out)
+    assert engine.meta['int8'] and engine.meta['fused']
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    y = np.asarray(engine(x))
+    ref = np.asarray(hrnet.apply(L.fold_batch_norm(params), jnp.asarray(x)))
+    assert y.shape == ref.shape == (2, 16, 16, 17)
+    rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert rel < 0.1, rel  # int8+bf16 vs f32, random weights
