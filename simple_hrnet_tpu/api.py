@@ -224,7 +224,8 @@ class SimpleHRNet:
                                        class_path=yolo_class_path,
                                        weights_path=yolo_weights_path,
                                        max_batch_size=max_batch_size,
-                                       dtype=self.dtype)
+                                       dtype='int8' if self.quantize_int8
+                                       else self.dtype)
             elif yolo_version == 'v5':
                 from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
                 self.detector = YOLOv5(model_def=yolo_model_def,

