@@ -230,7 +230,8 @@ class SimpleHRNet:
                 from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
                 self.detector = YOLOv5(model_def=yolo_model_def,
                                        max_batch_size=max_batch_size,
-                                       dtype=self.dtype)
+                                       dtype='int8' if self.quantize_int8
+                                       else self.dtype)
             else:
                 raise ValueError('Unsupported YOLO version.')
 

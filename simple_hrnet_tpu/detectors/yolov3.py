@@ -168,35 +168,14 @@ class YOLOv3:
         self._detect_jit = {}
 
     def _quantize_int8(self, params, img_size):
-        """Calibrate on a smooth synthetic letterboxed batch (CPU backend —
-        eager dispatch through the TPU relay costs one RTT per conv) and
-        quantize policy-accepted convs; see models/quantize.py."""
-        import numpy as np
+        """Calibrate on a smooth synthetic letterboxed batch and quantize
+        policy-accepted convs; see models/quantize.py."""
         from simple_hrnet_tpu.models import quantize as Q
 
-        def to_np(tree):
-            for k, v in tree.items():
-                if isinstance(v, dict):
-                    to_np(v)
-                else:
-                    tree[k] = np.asarray(v)
-        to_np(params)
-        rng = np.random.default_rng(0)
-        s = img_size
-        coarse = rng.uniform(0, 1, (1, s // 8, s // 8, 3))
-        cal = np.kron(coarse.transpose(0, 3, 1, 2),
-                      np.ones((8, 8))).transpose(0, 2, 3, 1).astype(
-            np.float32)
-        apply_fn = lambda p, v: darknet.apply(p, self.blocks, v, s)
-        try:
-            cpu = jax.local_devices(backend='cpu')[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None and jax.default_backend() != 'cpu':
-            with jax.default_device(cpu):
-                amax = Q.calibrate(apply_fn, params, [cal])
-        else:
-            amax = Q.calibrate(apply_fn, params, [cal])
+        cal = Q.smooth_frames((img_size, img_size))
+        amax = Q.calibrate_cpu(
+            lambda p, v: darknet.apply(p, self.blocks, v, img_size),
+            params, [cal])
         qp = Q.quantize_folded(params, amax)
         return jax.tree_util.tree_map(jnp.asarray, qp)
 

@@ -72,7 +72,8 @@ def build_config(variant: str = 'yolov5m', num_classes: int = 80) -> dict:
 
 def _conv(p: Params, x, *, stride=1, pad=None, act=True, dtype=None):
     """ultralytics Conv: conv -> BN -> SiLU (folded BN supported)."""
-    k = p['conv']['kernel'].shape[0]
+    node = p['conv']
+    k = (node['kernel'] if 'kernel' in node else node['kernel_q']).shape[0]
     if pad is None:
         pad = k // 2
     x = L.conv2d(x, p['conv'], stride=stride, padding=pad, dtype=dtype)
@@ -320,6 +321,19 @@ class YOLOv5:
         else:
             self.params = init(jax.random.PRNGKey(0), self.cfg)
         self.params = _fold(self.params)
+
+        if dtype == 'int8':
+            # TRT-style PTQ (models/quantize.py), same recipe as YOLOv3:
+            # calibrated int8 on the policy-accepted convs, bf16 elsewhere
+            from simple_hrnet_tpu.models import quantize as Q
+            cal = Q.smooth_frames((img_size, img_size))
+            amax = Q.calibrate_cpu(
+                lambda p, v: apply(p, self.cfg, v, img_size, dtype=None),
+                self.params, [cal])
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, Q.quantize_folded(self.params, amax))
+            self.dtype = jnp.bfloat16
+
         self._detect_jit = {}
 
     def pure_fn(self, in_hw):

@@ -114,3 +114,41 @@ def quantize_model(apply_fn: Callable, params: Params,
     """calibrate + quantize_folded in one call."""
     return quantize_folded(params, calibrate(apply_fn, params, batches),
                            policy=policy)
+
+
+def calibrate_cpu(apply_fn: Callable, params: Params,
+                  batches: Iterable[np.ndarray]) -> Dict[int, float]:
+    """``calibrate`` with leaves converted to numpy IN PLACE (node-dict ids
+    preserved — they key the amax map) and the eager forward pinned to the
+    CPU backend: eager dispatch through a TPU relay would pay one RTT per
+    conv. Callers re-device the tree afterwards (jnp.asarray tree_map)."""
+    import jax
+
+    def to_np(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                to_np(v)
+            else:
+                tree[k] = np.asarray(v)
+    to_np(params)
+    try:
+        cpu = jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != 'cpu':
+        with jax.default_device(cpu):
+            return calibrate(apply_fn, params, batches)
+    return calibrate(apply_fn, params, batches)
+
+
+def smooth_frames(shape_hw, n: int = 1, lo: float = 0.0, hi: float = 1.0,
+                  seed: int = 0) -> np.ndarray:
+    """Smooth synthetic calibration frames: coarse noise upsampled 8x.
+
+    Smoothness matters — white noise under-excites deep activations and
+    would under-estimate amax ranges."""
+    rng = np.random.default_rng(seed)
+    h, w = shape_hw
+    coarse = rng.uniform(lo, hi, (n, h // 8, w // 8, 3))
+    return np.kron(coarse.transpose(0, 3, 1, 2),
+                   np.ones((8, 8))).transpose(0, 2, 3, 1).astype(np.float32)

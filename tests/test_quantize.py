@@ -270,3 +270,23 @@ def test_yolov3_int8(rng):
     rf, vf = df._detect(jnp.asarray(frames, jnp.float32))
     assert r8.shape == rf.shape
     assert np.asarray(v8).shape == np.asarray(vf).shape
+
+
+def test_yolov5_int8(rng):
+    """YOLOv5(dtype='int8') quantizes convs and still detects."""
+    from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
+
+    d8 = YOLOv5(model_def='yolov5n', img_size=320, dtype='int8')
+    qcount = []
+
+    def count(t):
+        if isinstance(t, dict):
+            if 'kernel_q' in t:
+                qcount.append(t)
+            for v in t.values():
+                count(v)
+    count(d8.params)
+    assert qcount, 'no yolov5 convs quantized'
+    frames = rng.integers(0, 255, (1, 224, 320, 3), dtype=np.uint8)
+    rows, valid = d8._detect(jnp.asarray(frames, jnp.float32))
+    assert rows.shape[0] == 1 and rows.shape[2] == 7
