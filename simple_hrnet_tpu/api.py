@@ -255,35 +255,14 @@ class SimpleHRNet:
         import numpy as np
         from simple_hrnet_tpu.models import quantize as Q
         from simple_hrnet_tpu.ops import image as I
-        h, w = self.resolution
-        rng = np.random.default_rng(0)
-        coarse = rng.uniform(0, 255, (2, h // 8, w // 8, 3))
-        imgs = np.kron(coarse.transpose(0, 3, 1, 2),
-                       np.ones((8, 8))).transpose(0, 2, 3, 1)
-        batch = (imgs / 255.0 - np.asarray(I.IMAGENET_MEAN)) \
-            / np.asarray(I.IMAGENET_STD)
-
-        # amax is keyed by node-dict identity, so the tree must keep its
-        # OBJECT structure across calibration -> pack -> quantize. Convert
-        # leaves to numpy IN PLACE (dict ids preserved) so the eager
-        # forward runs on the CPU backend instead of paying one relay RTT
-        # per conv; leaves are re-converted to device arrays afterwards.
-        def to_np(tree):
-            for k, v in tree.items():
-                if isinstance(v, dict):
-                    to_np(v)
-                else:
-                    tree[k] = np.asarray(v)
-        to_np(params)
-        try:
-            cpu = jax.local_devices(backend='cpu')[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None and jax.default_backend() != 'cpu':
-            with jax.default_device(cpu):
-                return Q.calibrate(apply_fn, params,
-                                   [batch.astype(np.float32)])
-        return Q.calibrate(apply_fn, params, [batch.astype(np.float32)])
+        imgs = Q.smooth_frames(self.resolution, n=2, lo=0.0, hi=255.0)
+        batch = ((imgs / 255.0 - np.asarray(I.IMAGENET_MEAN))
+                 / np.asarray(I.IMAGENET_STD)).astype(np.float32)
+        # calibrate_cpu converts leaves to numpy IN PLACE (amax is keyed by
+        # node-dict identity, which pack/quantize re-use) and runs the
+        # eager pass on the CPU backend; __init__ re-devices the final
+        # tree afterwards.
+        return Q.calibrate_cpu(apply_fn, params, [batch])
 
     @staticmethod
     def _resolve_device(device):

@@ -63,29 +63,10 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
         else:
             cal_apply = partial(poseresnet.apply, resnet_size=c)
 
-        def to_np(tree):
-            for k, v in tree.items():
-                if isinstance(v, dict):
-                    to_np(v)
-                else:
-                    tree[k] = np.asarray(v)
-        to_np(params)
-        rng = np.random.default_rng(0)
-        h, w = resolution
-        coarse = rng.uniform(0, 255, (2, h // 8, w // 8, 3))
-        imgs = np.kron(coarse.transpose(0, 3, 1, 2),
-                       np.ones((8, 8))).transpose(0, 2, 3, 1)
+        imgs = Q.smooth_frames(resolution, n=2, lo=0.0, hi=255.0)
         cal = ((imgs / 255.0 - np.asarray(I.IMAGENET_MEAN))
                / np.asarray(I.IMAGENET_STD)).astype(np.float32)
-        try:
-            cpu = jax.local_devices(backend='cpu')[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None and jax.default_backend() != 'cpu':
-            with jax.default_device(cpu):
-                amax = Q.calibrate(cal_apply, params, [cal])
-        else:
-            amax = Q.calibrate(cal_apply, params, [cal])
+        amax = Q.calibrate_cpu(cal_apply, params, [cal])
 
     if model_name in ('HRNet', 'hrnet'):
         if fused:
