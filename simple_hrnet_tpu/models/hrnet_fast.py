@@ -99,20 +99,24 @@ def pack_grouped(folded_params: Params, group: int = 2,
                 branches[str(b)] = _pack_tree(sp['branches'][str(b)], group)
                 blocks = [sp['branches'][str(b)][str(i)] for i in range(4)]
                 c = blocks[0]['conv1']['kernel'].shape[2]
-                if pallas_chains and group * c == 128:
+                if int8_amax is not None and all(
+                        id(blk[ck]) in int8_amax
+                        for blk in blocks for ck in ('conv1', 'conv2')):
+                    # int8 chains win at every pack width: XLA blockdiag
+                    # formulation below 128 lanes (1.41x bf16 at W48's 96),
+                    # the VMEM-resident Pallas int8 kernel at exactly 128
+                    # (0.141 vs 0.180 ms pallas-bf16 — PERF.md round 2c)
+                    from simple_hrnet_tpu.ops.pallas.fused_block import (
+                        pack_chain_weights_int8)
+                    branches[f'chain{b}_q'] = pack_chain_weights_int8(
+                        blocks, int8_amax, group=group)
+                elif pallas_chains and group * c == 128:
                     from simple_hrnet_tpu.ops.pallas.fused_block import (
                         pack_chain_weights)
                     # stored f32; the kernel casts to the activation dtype
                     w, bias = pack_chain_weights(blocks, jnp.float32,
                                                  group=group)
                     branches[f'chain{b}'] = {'w': w, 'b': bias}
-                elif int8_amax is not None and all(
-                        id(blk[ck]) in int8_amax
-                        for blk in blocks for ck in ('conv1', 'conv2')):
-                    from simple_hrnet_tpu.ops.pallas.fused_block import (
-                        pack_chain_weights_int8)
-                    branches[f'chain{b}_q'] = pack_chain_weights_int8(
-                        blocks, int8_amax, group=group)
             ps[str(m)] = {'branches': branches,
                           'fuse_layers': _pack_tree(sp['fuse_layers'], group)}
         packed[stage] = ps
@@ -150,9 +154,14 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
             chain_q = packed_m['branches'].get(f'chain{b}_q')
             if chain_q is not None:
                 from simple_hrnet_tpu.ops.pallas.fused_block import (
-                    blockdiag_chain_int8_grouped)
-                xs[b] = blockdiag_chain_int8_grouped(
-                    xs[b], chain_q, dtype=dtype or jnp.float32)
+                    blockdiag_chain_int8_grouped, chain_pallas_int8_ok,
+                    chain_pallas_int8_grouped)
+                if chain_pallas_int8_ok(xs[b].shape[2],
+                                        chain_q['wq'].shape[-1]):
+                    xs[b] = chain_pallas_int8_grouped(xs[b], chain_q)
+                else:
+                    xs[b] = blockdiag_chain_int8_grouped(
+                        xs[b], chain_q, dtype=dtype or jnp.float32)
                 continue
             chain = packed_m['branches'].get(f'chain{b}')
             if chain is not None:

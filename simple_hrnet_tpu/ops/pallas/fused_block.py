@@ -230,6 +230,120 @@ def _chain_kernel(x_ref, w_ref, b_ref, out_ref, xw_ref):
             load_center(out_ref[0])
 
 
+def _chain_kernel_int8(x_ref, w_ref, inva_ref, alpha_ref, b_ref, out_ref,
+                       xw_ref):
+    """Int8 variant of the v3 chain kernel (see _chain_kernel).
+
+    The wide tap buffer holds INT8 activations (half the VMEM footprint and
+    HBM-free like v3), each conv is 3 int8xint8->int32 dot_generals on the
+    MXU's 2x-rate int8 path, and the dequant+bias+ReLU epilogue runs in f32
+    registers. Per-conv quantization uses the calibrated static scales:
+    ``inva_ref`` (8,1) = 1/ascale, ``alpha_ref`` (8,CG) = ascale*wscale
+    (the combined dequant factor), ``b_ref`` (8,CG) f32 biases.
+    """
+    _, h, w_dim, cg = out_ref.shape
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xw_ref[:] = jnp.zeros(xw_ref.shape, xw_ref.dtype)
+
+    def quantize_store(v, conv_idx):
+        # quantize for conv ``conv_idx`` and park in the center lane block
+        q = jnp.clip(jnp.round(v.astype(jnp.float32) * inva_ref[conv_idx, 0]),
+                     -127, 127).astype(jnp.int8)
+        xw_ref[1:h + 1, 0:w_dim, cg:2 * cg] = q
+
+    def conv3x3(conv_idx, residual, quant_for, want_value):
+        # VMEM-stack discipline: the f32 conv result escapes this function
+        # ONLY when it feeds out_ref (want_value); mid results quantize
+        # straight back into the tap buffer so at most one full-extent f32
+        # temporary is live at a time (the 16MB scoped limit binds here).
+        xw_ref[1:h + 1, 1:w_dim + 1, 0:cg] = \
+            xw_ref[1:h + 1, 0:w_dim, cg:2 * cg]
+        xw_ref[1:h + 1, 0:w_dim, 2 * cg:3 * cg] = \
+            xw_ref[1:h + 1, 1:w_dim + 1, cg:2 * cg]
+        acc = jnp.zeros((h, w_dim, cg), jnp.int32)
+        for ky in range(3):
+            tap = xw_ref[ky:ky + h, 0:w_dim, :]
+            acc = acc + jax.lax.dot_general(
+                tap, w_ref[conv_idx, ky],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        accf = acc.astype(jnp.float32) * alpha_ref[conv_idx, :] \
+            + b_ref[conv_idx, :]
+        if residual is not None:
+            accf = accf + residual.astype(jnp.float32)
+        accf = jnp.maximum(accf, 0.0)
+        if quant_for is not None:
+            quantize_store(accf, quant_for)
+        if want_value:
+            return accf
+
+    quantize_store(x_ref[0], 0)
+    out_ref[0] = x_ref[0]
+    for blk in range(4):
+        conv3x3(2 * blk, None, quant_for=2 * blk + 1, want_value=False)
+        y = conv3x3(2 * blk + 1, out_ref[0],
+                    quant_for=2 * blk + 2 if blk < 3 else None,
+                    want_value=True)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+def chain_pallas_int8_ok(w_dim: int, cg: int) -> bool:
+    """Run the compiled int8 chain kernel at this shape?
+
+    Measured (PERF.md round 2c): wins only at exactly 128 packed lanes
+    (0.141 vs 0.163 ms XLA-int8 at W32); at 96 lanes the int8 tile's
+    32-row sublane granularity makes the misaligned tap copies dominate
+    (0.769 vs 0.436 — the XLA blockdiag int8 chain stays). Needs W % 8
+    aligned slices like the bf16 kernel.
+    """
+    if w_dim % 8 or cg != 128:
+        return False
+    if jax.default_backend() == 'cpu':
+        return cpu_interpret_enabled()
+    return True
+
+
+def chain_pallas_int8_grouped(xg: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """VMEM-resident int8 chain on an ALREADY-grouped tensor (B',H,W,CG).
+
+    ``q`` from pack_chain_weights_int8. Requires W % 8 == 0 (same aligned
+    sublane constraint as the bf16 kernel).
+    """
+    bg, h, w_dim, cg = xg.shape
+    dtype = xg.dtype
+    wp = (w_dim + 2 + 7) // 8 * 8
+    w = q['wq']  # (8, 3, 3, CG, CG) int8
+    wst = jnp.concatenate([w[:, :, 0], w[:, :, 1], w[:, :, 2]], axis=2)
+    inva = (1.0 / q['ascales']).astype(jnp.float32)[:, None]
+    alpha = (q['ascales'][:, None] * q['wscale']).astype(jnp.float32)
+    return pl.pallas_call(
+        _chain_kernel_int8,
+        grid=(bg,),
+        interpret=jax.default_backend() == 'cpu',
+        in_specs=[
+            pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w_dim, cg), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bg, h, w_dim, cg), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, wp, 3 * cg), jnp.int8),
+        ],
+        # the int32 accumulator + f32 epilogue at full block extent spill
+        # to the VMEM stack; the default 16MB scoped limit is conservative
+        # (v5e VMEM is 128MB) — raise it for the large W48 block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xg, wst, inva, alpha, q['b'].astype(jnp.float32))
+
+
 def cpu_interpret_enabled() -> bool:
     """Opt-in for running production-path Pallas kernels through the
     interpreter on CPU (SHT_PALLAS_CPU_INTERPRET=1). Parity tests enable

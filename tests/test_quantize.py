@@ -290,3 +290,49 @@ def test_yolov5_int8(rng):
     frames = rng.integers(0, 255, (1, 224, 320, 3), dtype=np.uint8)
     rows, valid = d8._detect(jnp.asarray(frames, jnp.float32))
     assert rows.shape[0] == 1 and rows.shape[2] == 7
+
+
+def test_pallas_int8_chain_matches_xla_int8(rng, monkeypatch):
+    """The VMEM-resident int8 chain kernel tracks the XLA int8 blockdiag
+    chain (interpret mode on CPU). Not bit-equal: the kernel quantizes mid
+    activations from f32 where the XLA path round-trips them through bf16
+    first — a few int8 bins shift near rounding boundaries."""
+    monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
+    from simple_hrnet_tpu.ops.pallas import fused_block as FB
+
+    c, group = 32, 4  # 128 packed lanes: the shape the kernel engages at
+    blocks, amax = [], {}
+    x = (rng.standard_normal((8, 16, 16, c)) * 0.5).astype(np.float32)
+    v = jnp.asarray(x)
+    for i in range(4):
+        blk = {}
+        for ck in ('conv1', 'conv2'):
+            blk[ck] = {'kernel': jnp.asarray(
+                rng.standard_normal((3, 3, c, c)).astype(np.float32) * 0.08),
+                'bias': jnp.asarray(
+                    rng.standard_normal(c).astype(np.float32) * 0.05)}
+        blocks.append(blk)
+        res = v
+        for j, ck in enumerate(('conv1', 'conv2')):
+            amax[id(blk[ck])] = float(jnp.max(jnp.abs(v)))
+            v = jax.lax.conv_general_dilated(
+                v, blk[ck]['kernel'], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + blk[ck]['bias']
+            v = jnp.maximum(v + (res if j == 1 else 0.0), 0.0)
+
+    q = FB.pack_chain_weights_int8(blocks, amax, group=group)
+    step = x.shape[0] // group
+    xg = jnp.concatenate([jnp.asarray(x[g * step:(g + 1) * step])
+                          for g in range(group)], axis=-1)
+    assert FB.chain_pallas_int8_ok(xg.shape[2], q['wq'].shape[-1])
+    ref = np.asarray(FB.blockdiag_chain_int8_grouped(xg, q,
+                                                     dtype=jnp.float32))
+    got = np.asarray(FB.chain_pallas_int8_grouped(xg, q))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, rel
+    # and both track the f32 chain
+    f32 = np.asarray(v)
+    relf = np.linalg.norm(
+        np.concatenate([got[..., g * c:(g + 1) * c] for g in range(group)])
+        - f32) / np.linalg.norm(f32)
+    assert relf < 0.1, relf
