@@ -105,10 +105,15 @@ def pack_grouped(folded_params: Params, group: int = 2,
                     # int8 chains win at every pack width: XLA blockdiag
                     # formulation below 128 lanes (1.41x bf16 at W48's 96),
                     # the VMEM-resident Pallas int8 kernel at exactly 128
-                    # (0.141 vs 0.180 ms pallas-bf16 — PERF.md round 2c)
+                    # (0.141 vs 0.180 ms pallas-bf16 — PERF.md round 2c).
+                    # The key encodes Pallas eligibility STRUCTURALLY so
+                    # portable engine exports (pallas_chains=False) never
+                    # bake a Mosaic custom call: _q may run the kernel,
+                    # _qx is XLA-only.
                     from simple_hrnet_tpu.ops.pallas.fused_block import (
                         pack_chain_weights_int8)
-                    branches[f'chain{b}_q'] = pack_chain_weights_int8(
+                    suffix = '_q' if pallas_chains else '_qx'
+                    branches[f'chain{b}{suffix}'] = pack_chain_weights_int8(
                         blocks, int8_amax, group=group)
                 elif pallas_chains and group * c == 128:
                     from simple_hrnet_tpu.ops.pallas.fused_block import (
@@ -152,16 +157,18 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
             xs[b] = _group(xu, group)
         else:
             chain_q = packed_m['branches'].get(f'chain{b}_q')
-            if chain_q is not None:
+            chain_qx = packed_m['branches'].get(f'chain{b}_qx')
+            if chain_q is not None or chain_qx is not None:
                 from simple_hrnet_tpu.ops.pallas.fused_block import (
                     blockdiag_chain_int8_grouped, chain_pallas_int8_ok,
                     chain_pallas_int8_grouped)
-                if chain_pallas_int8_ok(xs[b].shape[2],
-                                        chain_q['wq'].shape[-1]):
+                q = chain_q if chain_q is not None else chain_qx
+                if chain_q is not None and chain_pallas_int8_ok(
+                        xs[b].shape[2], chain_q['wq'].shape[-1]):
                     xs[b] = chain_pallas_int8_grouped(xs[b], chain_q)
                 else:
                     xs[b] = blockdiag_chain_int8_grouped(
-                        xs[b], chain_q, dtype=dtype or jnp.float32)
+                        xs[b], q, dtype=dtype or jnp.float32)
                 continue
             chain = packed_m['branches'].get(f'chain{b}')
             if chain is not None:

@@ -222,12 +222,18 @@ def test_facade_int8(tmp_path, rng):
     assert np.median(np.abs(pts8[..., :2] - ptsf[..., :2])) <= 8.0
 
 
-def test_int8_fused_engine_export(tmp_path, rng):
+def test_int8_fused_engine_export(tmp_path, rng, monkeypatch):
     """--int8 --fused engines: calibrated int8 + grouped trunk baked into
     the serialized module; outputs track the live f32 model."""
     import jax
     from simple_hrnet_tpu.utils import checkpoint as ckpt
     from simple_hrnet_tpu.utils.export import Engine, export_engine
+
+    # interpret mode ON so that if export ever packed pallas-eligible
+    # ('_q') chains, the CPU trace would at least take the kernel path
+    # (as interpreted ops); the byte-level custom-call assertion below is
+    # load-bearing on TPU exports, structural _qx packing on all backends
+    monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
 
     params = hrnet.init(jax.random.PRNGKey(0), c=32, nof_joints=17)
     ckpt_path = str(tmp_path / 'w32.npz')
@@ -237,6 +243,12 @@ def test_int8_fused_engine_export(tmp_path, rng):
                         batch_size=2, int8=True, fused=True)
     engine = Engine(out)
     assert engine.meta['int8'] and engine.meta['fused']
+
+    # portability: fused engines must never bake a Mosaic custom call
+    # (pack_grouped stores XLA-only chain weights under the _qx key)
+    import zipfile
+    with zipfile.ZipFile(out) as z:
+        assert b'tpu_custom_call' not in z.read('module.shlo')
 
     x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
     y = np.asarray(engine(x))
