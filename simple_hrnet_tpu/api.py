@@ -532,6 +532,39 @@ class SimpleHRNet:
     # public API (reference SimpleHRNet.py:174-210 contract)
     # ------------------------------------------------------------------
 
+    def warmup(self, frame_hw: Tuple[int, int], batch_sizes=(1,),
+               stream_max_people: Optional[int] = None) -> dict:
+        """Precompile the inference pipelines for a frame geometry.
+
+        The serving analogue of building a fixed-shape TensorRT engine:
+        first-request latency drops from XLA-compile time (tens of
+        seconds) to execution time. Runs each listed frame-batch size
+        through ``predict`` on a zero frame (compiling the whole-frame or
+        detect->crop->pose->decode graph, detector included); with
+        ``stream_max_people`` also AOT-compiles the ``predict_stream``
+        fused per-frame graph without executing it. Combine with JAX's
+        persistent compilation cache to amortize across processes.
+
+        Returns {'single': n, 'gather': n, 'fused': n} executable-cache
+        sizes (follow-up people-bucket shapes beyond the optimistic first
+        launch still compile lazily — they depend on detection counts).
+        """
+        h, w = int(frame_hw[0]), int(frame_hw[1])
+        for b in batch_sizes:
+            dummy = np.zeros((b, h, w, 3), np.uint8)
+            self.predict(dummy[0] if b == 1 else dummy)
+        if stream_max_people is not None and self.detector is not None:
+            run = self._get_fused_frame((h, w), stream_max_people)
+            # execute once on a zero frame: lower().compile() would build an
+            # executable OUTSIDE jit's dispatch cache and the stream's later
+            # calls would compile again
+            out = run(self.params, self.detector.params,
+                      np.zeros((h, w, 3), np.uint8))
+            jax.block_until_ready(out)
+        return {'single': len(self._single_jit),
+                'gather': len(self._crop_jit),
+                'fused': len(self._fused_jit)}
+
     def predict(self, image: np.ndarray):
         """Estimate poses on one HWC BGR frame or an NHWC stack.
 

@@ -326,3 +326,21 @@ def test_predict_stream_single_person(w32_checkpoint, rng):
     assert len(out) == 3
     for frame, pts in zip(frames, out):
         np.testing.assert_allclose(pts, model.predict(frame), atol=1e-4)
+
+
+def test_warmup_precompiles(w32_checkpoint, rng):
+    """warmup() compiles every pipeline a later predict of the same
+    geometry needs — no new executable-cache entries afterwards."""
+    from simple_hrnet_tpu.api import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False,
+                        resolution=(64, 64))
+    sizes = model.warmup((96, 96), batch_sizes=(1, 3),
+                         stream_max_people=None)
+    assert sizes['single'] >= 1
+    n_single = len(model._single_jit)
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    model.predict(img)
+    model.predict(np.stack([img] * 3))
+    assert len(model._single_jit) == n_single, 'predict recompiled'
