@@ -351,3 +351,19 @@ def test_live_demo_main_loop_on_video(tmp_path, monkeypatch):
     while out.read()[0]:
         n += 1
     assert n == 2
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """enable_compile_cache points jax at a persistent cache dir and
+    compiled modules land there."""
+    import jax
+    import jax.numpy as jnp
+    import simple_hrnet_tpu
+
+    path = simple_hrnet_tpu.enable_compile_cache(str(tmp_path / 'xla'))
+    try:
+        jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64))).block_until_ready()
+        import os
+        assert os.path.isdir(path)
+    finally:
+        jax.config.update('jax_compilation_cache_dir', None)
