@@ -35,26 +35,45 @@ Params = Dict[str, Any]
 UNGROUPED_BRANCHES = (1, 2, 3)
 
 
-def _blockdiag_conv(node: Params, group: int) -> Params:
-    """{'kernel' (k,k,Ci,Co), 'bias' (Co,)} -> block-diagonal G-grouped."""
+def _blockdiag_conv(node: Params, group: int,
+                    amax: Optional[Dict[int, float]] = None) -> Params:
+    """{'kernel' (k,k,Ci,Co), 'bias' (Co,)} -> block-diagonal G-grouped.
+
+    With ``amax`` (calibration map keyed by id(node)), 3x3+ packed convs
+    are emitted quantized (per-output-channel int8 + the original conv's
+    static activation scale — per-tensor amax is invariant under the
+    batch-halves channel packing), so the grouped trunk's transitions and
+    fuse layers ride the int8 MXU path too.
+    """
     k = np.asarray(node['kernel'], np.float32)
     kh, kw, ci, co = k.shape
     w = np.zeros((kh, kw, group * ci, group * co), np.float32)
     for g in range(group):
         w[:, :, g * ci:(g + 1) * ci, g * co:(g + 1) * co] = k
-    out: Params = {'kernel': jnp.asarray(w)}
+    out: Params = {}
+    a = amax.get(id(node)) if amax is not None else None
+    if a is not None and a > 0.0 and kh >= 3 and kw >= 3:
+        ws = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+        ws = np.where(ws == 0.0, 1.0, ws)
+        out['kernel_q'] = jnp.asarray(
+            np.clip(np.round(w / ws), -127, 127).astype(np.int8))
+        out['wscale'] = jnp.asarray(ws, jnp.float32)
+        out['ascale'] = jnp.float32(a / 127.0)
+    else:
+        out['kernel'] = jnp.asarray(w)
     if 'bias' in node:
         out['bias'] = jnp.asarray(np.tile(np.asarray(node['bias'],
                                                      np.float32), group))
     return out
 
 
-def _pack_tree(tree: Params, group: int) -> Params:
+def _pack_tree(tree: Params, group: int,
+               amax: Optional[Dict[int, float]] = None) -> Params:
     if not isinstance(tree, dict):
         return tree
     if 'kernel' in tree:
-        return _blockdiag_conv(tree, group)
-    return {k: _pack_tree(v, group) for k, v in tree.items()}
+        return _blockdiag_conv(tree, group, amax)
+    return {k: _pack_tree(v, group, amax) for k, v in tree.items()}
 
 
 def pack_grouped(folded_params: Params, group: int = 2,
@@ -84,10 +103,12 @@ def pack_grouped(folded_params: Params, group: int = 2,
     """
     packed: Params = {}
     for key in ('transition1', 'transition2', 'transition3'):
-        packed[key] = _pack_tree(folded_params[key], group)
+        packed[key] = _pack_tree(folded_params[key], group, int8_amax)
     if group_stem:
-        packed['conv2'] = _blockdiag_conv(folded_params['conv2'], group)
-        packed['layer1'] = _pack_tree(folded_params['layer1'], group)
+        packed['conv2'] = _blockdiag_conv(folded_params['conv2'], group,
+                                          int8_amax)
+        packed['layer1'] = _pack_tree(folded_params['layer1'], group,
+                                      int8_amax)
     for stage, (n_mod, n_br) in hrnet.STAGE_CFG.items():
         ps: Params = {}
         for m in range(n_mod):
@@ -123,7 +144,8 @@ def pack_grouped(folded_params: Params, group: int = 2,
                                                  group=group)
                     branches[f'chain{b}'] = {'w': w, 'b': bias}
             ps[str(m)] = {'branches': branches,
-                          'fuse_layers': _pack_tree(sp['fuse_layers'], group)}
+                          'fuse_layers': _pack_tree(sp['fuse_layers'], group,
+                                                    int8_amax)}
         packed[stage] = ps
     return packed
 
@@ -217,7 +239,9 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
     # ``params`` may carry int8-quantized nodes (kernel_q) — models/quantize
     t1n = params['transition1']['0']['0']
     c_base = (t1n['kernel'] if 'kernel' in t1n else t1n['kernel_q']).shape[3]
-    group = packed['transition1']['0']['0']['kernel'].shape[3] // c_base
+    t1p = packed['transition1']['0']['0']
+    group = (t1p['kernel'] if 'kernel' in t1p
+             else t1p['kernel_q']).shape[3] // c_base
     orig_b = x.shape[0]
     pad = (-orig_b) % group
     if pad:

@@ -174,10 +174,11 @@ def test_int8_packed_chain_matches_per_conv_quantized(rng):
 def test_int8_grouped_model_close_to_plain_quantized(rng):
     """apply_grouped with int8 chains tracks the plain quantized forward.
 
-    Not bit-equal by design: the grouped path keeps transitions/fuse-down
-    convs in f32 packed form (they are 1x1/small and int8 loses there),
-    while the plain quantized tree quantizes every policy-accepted conv —
-    so the two differ by those convs' quantization error only."""
+    Not bit-equal by design: packed 3x3 transitions/fuse-downs quantize
+    whole-packed-tensor (per-packed-output-channel weight scales) while
+    the plain tree quantizes per original conv, and the plain policy's
+    channel bounds differ from the packer's kernel-size-only rule — the
+    two paths differ by independent-rounding error only."""
     from simple_hrnet_tpu.models import hrnet_fast
 
     params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(3), c=32,
