@@ -40,10 +40,14 @@ def _blockdiag_conv(node: Params, group: int,
     """{'kernel' (k,k,Ci,Co), 'bias' (Co,)} -> block-diagonal G-grouped.
 
     With ``amax`` (calibration map keyed by id(node)), 3x3+ packed convs
-    are emitted quantized (per-output-channel int8 + the original conv's
-    static activation scale — per-tensor amax is invariant under the
-    batch-halves channel packing), so the grouped trunk's transitions and
-    fuse layers ride the int8 MXU path too.
+    whose packed dims stay BELOW the 128 MXU lanes are emitted quantized
+    (per-output-channel int8 + the original conv's static activation
+    scale — per-tensor amax is invariant under the batch-halves channel
+    packing), so e.g. W48's 96-lane grouped transitions ride the int8 MXU
+    path too. At >=128 packed lanes int8 measured at-or-below bf16 for
+    single convs (quant/dequant VPU traffic on full-lane tensors —
+    PERF.md round 2c; W32's 128-lane packed trunk regressed 3926->3140
+    img/s before this gate), so those stay bf16.
     """
     k = np.asarray(node['kernel'], np.float32)
     kh, kw, ci, co = k.shape
@@ -52,7 +56,8 @@ def _blockdiag_conv(node: Params, group: int,
         w[:, :, g * ci:(g + 1) * ci, g * co:(g + 1) * co] = k
     out: Params = {}
     a = amax.get(id(node)) if amax is not None else None
-    if a is not None and a > 0.0 and kh >= 3 and kw >= 3:
+    if a is not None and a > 0.0 and kh >= 3 and kw >= 3 \
+            and max(group * ci, group * co) < 128:
         ws = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
         ws = np.where(ws == 0.0, 1.0, ws)
         out['kernel_q'] = jnp.asarray(

@@ -83,9 +83,13 @@ def test_calibrate_and_policy_selection(rng):
         assert 16 <= ci <= 128 and 16 <= co <= 128
 
 
-def test_int8_hrnet_heatmap_parity(rng):
+def test_int8_hrnet_heatmap_parity():
     """End-to-end: int8 HRNet keeps the f32 model's heatmap argmax on a
     smooth input, and the heatmaps stay within a few percent."""
+    # dedicated generator: the shared session rng's state depends on test
+    # ORDER, and argmax agreement of near-flat random-weight heatmaps is
+    # sensitive to the exact sample (observed 0.79-0.85 across orderings)
+    rng = np.random.default_rng(1234)
     params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(1), c=32,
                                           nof_joints=17))
     # smooth image-like input: coarse noise field upsampled 8x
