@@ -57,7 +57,10 @@ class SimpleHRNet:
         'int8' for TRT-style post-training quantization (per-channel int8
         weights + calibrated static activation scales on the MXU-bound
         trunk convs, bf16 elsewhere — models/quantize.py; measured 1.4-2x
-        on the W48 bottleneck convs, PERF.md round 2c);
+        on the W48 bottleneck convs, PERF.md round 2c); with
+        ``calibration_images`` (iterable of HWC RGB frames) the int8
+        activation scales calibrate on real data instead of the synthetic
+        default;
         ``use_fused_kernels`` (default True) enables the block-diagonal
         fast chains for HRNet inference (f32-exact; see PERF.md) —
         set False for the plain reference-shaped graph.
@@ -82,8 +85,12 @@ class SimpleHRNet:
                  enable_tensorrt: bool = False,
                  dtype: Union[str, None] = None,
                  use_fused_kernels: bool = True,
-                 mesh=None):
+                 mesh=None,
+                 calibration_images=None):
         self.c = c
+        # int8 calibration data: iterable of HWC RGB uint8/float frames
+        # (resized internally); None -> smooth synthetic frames
+        self.calibration_images = calibration_images
         self.nof_joints = nof_joints
         self.checkpoint_path = checkpoint_path
         self.model_name = model_name
@@ -243,19 +250,27 @@ class SimpleHRNet:
         """Activation-scale calibration for int8 (models/quantize.py).
 
         Runs one EAGER forward (on the CPU backend — eager op dispatch
-        through the TPU relay would pay one RTT per conv) on a smooth
-        synthetic batch at the model resolution, normalized exactly like
-        production inputs. TRT-style file-based calibration data can be
-        supplied by assigning ``SimpleHRNet.calibration_images`` (HWC RGB
-        uint8 arrays) before construction via subclassing; the synthetic
-        default keeps argmax parity on random weights (test_quantize.py)
-        and real-weight AP should be validated with
+        through the TPU relay would pay one RTT per conv) on the
+        ``calibration_images`` constructor argument (HWC RGB frames,
+        resized to the model resolution — TRT-style real-data
+        calibration), or on a smooth synthetic batch when none given;
+        either way normalized exactly like production inputs. The
+        synthetic default keeps argmax parity on random weights
+        (test_quantize.py); real-weight AP should be validated with
         scripts/validate_goldens.py.
         """
         import numpy as np
         from simple_hrnet_tpu.models import quantize as Q
         from simple_hrnet_tpu.ops import image as I
-        imgs = Q.smooth_frames(self.resolution, n=2, lo=0.0, hi=255.0)
+        if self.calibration_images is not None:
+            import cv2
+            h, w = self.resolution
+            imgs = np.stack([
+                cv2.resize(np.asarray(im), (w, h),
+                           interpolation=cv2.INTER_LINEAR).astype(np.float64)
+                for im in self.calibration_images])
+        else:
+            imgs = Q.smooth_frames(self.resolution, n=2, lo=0.0, hi=255.0)
         batch = ((imgs / 255.0 - np.asarray(I.IMAGENET_MEAN))
                  / np.asarray(I.IMAGENET_STD)).astype(np.float32)
         # calibrate_cpu converts leaves to numpy IN PLACE (amax is keyed by

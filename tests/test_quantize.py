@@ -353,3 +353,37 @@ def test_pallas_int8_chain_matches_xla_int8(rng, monkeypatch):
         np.concatenate([got[..., g * c:(g + 1) * c] for g in range(group)])
         - f32) / np.linalg.norm(f32)
     assert relf < 0.1, relf
+
+
+def test_facade_int8_real_calibration(tmp_path, rng):
+    """calibration_images feeds real frames into the int8 scale
+    calibration instead of the synthetic default."""
+    import conftest as _c
+    _c.reference_on_path()
+    import torch
+    from models_.hrnet import HRNet as TorchHRNet
+    from simple_hrnet_tpu.api import SimpleHRNet
+
+    torch.manual_seed(0)
+    path = tmp_path / 'w32.pth'
+    torch.save(TorchHRNet(c=32, nof_joints=17).state_dict(), str(path))
+
+    cal = [rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+           for _ in range(2)]
+    m = SimpleHRNet(32, 17, str(path), multiperson=False,
+                    resolution=(64, 64), dtype='int8',
+                    calibration_images=cal)
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    pts = m.predict(img)
+    assert pts.shape == (1, 17, 3)
+
+    found = []
+
+    def count(t):
+        if isinstance(t, dict):
+            if 'kernel_q' in t:
+                found.append(t)
+            for v in t.values():
+                count(v)
+    count(m.params)
+    assert found
