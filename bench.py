@@ -1,12 +1,22 @@
-"""Headline benchmark: HRNet-W48 384x288 throughput, TPU vs reference CPU.
+"""Headline benchmarks: the production W48 configs, TPU vs reference CPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints one JSON line PER measurement (all run serialized in this one
+process — concurrent TPU benchmarks corrupt each other's chained
+timings, PERF.md). The LAST line is the north-star metric from
+BASELINE.json ("frames/sec/chip at W48-384x288 multi-person"):
 
-The reference publishes no numbers (BASELINE.md), so the baseline is
+  1. HRNet-W48 384x288 bf16 b16 forward      (cross-round comparability)
+  2. HRNet-W48 384x288 int8  b32 forward      (production-best serving)
+  3. multi-person e2e fps (YOLOv3 detect -> crop -> W48 pose -> decode,
+     640x480 frame, 8 people slots, one fused graph, int8)
+
+The reference publishes no numbers (BASELINE.md), so baselines are
 *measured*: the reference's own torch HRNet-W48 forward on this machine's
 CPU (the denominator the north star specifies: >=5x PyTorch-CPU fps/chip).
-The measurement is cached in BASELINE_MEASURED.json so bench stays fast.
+Cached in BASELINE_MEASURED.json so bench stays fast. The multi-person
+denominator is derived generously for the reference: torch-CPU pose
+forward alone at 8 crops/frame, ignoring its detector + host crop loop
+(SURVEY.md §3.1 — the real reference path is strictly slower).
 """
 
 import json
@@ -22,6 +32,8 @@ CACHE = os.path.join(REPO, 'BASELINE_MEASURED.json')
 
 BATCH = 16
 RES = (384, 288)
+MP_FRAME_HW = (480, 640)
+MP_SLOTS = 8
 
 
 def measure_torch_cpu_fps() -> float:
@@ -59,59 +71,99 @@ def torch_cpu_fps() -> float:
     return fps
 
 
-def measure_tpu_fps() -> float:
-    """On-chip throughput via lax.scan-chained forwards.
+def measure_w48_forward():
+    """On-chip W48 grouped-trunk throughput, bf16 b16 and int8 b32.
 
-    The TPU here sits behind a high-latency relay where per-call host timing
-    (and even block_until_ready) measures the tunnel, not the chip. Chaining
-    K serialized forwards inside one jit and differencing two K values
-    cancels both RTT and dispatch overhead.
-    """
+    All timing via lax.scan-chained forwards (the TPU sits behind a
+    high-latency relay where per-call host timing — even
+    block_until_ready — measures the tunnel, not the chip; chaining K
+    serialized forwards inside one jit and differencing two K values
+    cancels both RTT and dispatch overhead)."""
     import jax
     import jax.numpy as jnp
 
     from simple_hrnet_tpu.models import hrnet, hrnet_fast
     from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.models import quantize as Q
+    from simple_hrnet_tpu.utils.profiling import device_timer
+
+    T = dict(iters_lo=2, iters_hi=42, repeats=3)
+    J = jax.tree_util.tree_map
+    rng = np.random.default_rng(0)
 
     params = L.fold_batch_norm(hrnet.init(jax.random.PRNGKey(0), c=48,
                                           nof_joints=17))
-    # inference fast path: grouped trunk (PERF.md; what
-    # SimpleHRNet(use_fused_kernels=True) runs)
-    packed = hrnet_fast.pack_grouped(params)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (BATCH, *RES, 3)), jnp.float32)
+    amax = Q.calibrate_cpu(lambda p, v: hrnet.apply(p, v), params,
+                           [Q.smooth_frames(RES)])
+    packed = J(jnp.asarray, hrnet_fast.pack_grouped(params, group=2))
+    packed_q = J(jnp.asarray, hrnet_fast.pack_grouped(params, group=2,
+                                                      int8_amax=amax))
+    params_q = J(jnp.asarray, Q.quantize_folded(params, amax))
+    params = J(jnp.asarray, params)
 
-    def chained(p, pk, v, iters):
-        def body(carry, _):
-            y = hrnet_fast.apply_grouped(p, pk, carry, dtype=jnp.bfloat16)
-            # feed a cheap function of y back in to serialize iterations
-            return carry + jnp.mean(y) * 1e-9, jnp.mean(y)
-        _, means = jax.lax.scan(body, v, None, length=iters)
-        return means.sum()
+    fwd = lambda v, p, pk: hrnet_fast.apply_grouped(p, pk, v,
+                                                    dtype=jnp.bfloat16)
+    x16 = jnp.asarray(rng.standard_normal((16, *RES, 3)), jnp.float32)
+    x32 = jnp.asarray(rng.standard_normal((32, *RES, 3)), jnp.float32)
+    t_bf16 = device_timer(fwd, x16, params, packed, **T)
+    t_int8 = device_timer(fwd, x32, params_q, packed_q, **T)
+    return 16 / t_bf16, 32 / t_int8
 
-    times = {}
-    for iters in (2, 42):
-        f = jax.jit(lambda p, pk, v, n=iters: chained(p, pk, v, n))
-        float(f(params, packed, x))  # compile + run once
-        best = float('inf')
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f(params, packed, x))  # scalar readback forces completion
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
-    dt = (times[42] - times[2]) / 40
-    return BATCH / dt
+
+def measure_multiperson_fps() -> float:
+    """North-star metric: fps of the fused multi-person per-frame graph
+    (detect -> compact -> crop -> pose -> decode, zero host syncs —
+    api.py:_get_fused_frame, the graph predict_stream runs), 640x480
+    frame, YOLOv3-416 + W48-384x288, 8 people slots, int8."""
+    import jax
+    import jax.numpy as jnp
+
+    from simple_hrnet_tpu import SimpleHRNet
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+    from simple_hrnet_tpu.utils.profiling import device_timer
+
+    path = '/tmp/bench_w48_random.npz'
+    if not os.path.exists(path):
+        ckpt.save(path, hrnet.init(jax.random.PRNGKey(0), c=48,
+                                   nof_joints=17))
+    model = SimpleHRNet(48, 17, path, resolution=RES, multiperson=True,
+                        yolo_model_def='yolov3', dtype='int8')
+    run = model._get_fused_frame(MP_FRAME_HW, MP_SLOTS)
+    frame = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (*MP_FRAME_HW, 3)),
+        jnp.float32)
+    t = device_timer(lambda f, pp, dp: run(pp, dp, f), frame,
+                     model.params, model.detector.params,
+                     iters_lo=2, iters_hi=42, repeats=3)
+    return 1.0 / t
 
 
 def main():
     baseline = torch_cpu_fps()
-    tpu = measure_tpu_fps()
+    bf16, int8 = measure_w48_forward()
     print(json.dumps({
         'metric': 'HRNet-W48 384x288 pose forward throughput (bf16, b16)',
-        'value': round(tpu, 2),
+        'value': round(bf16, 2),
         'unit': 'img/s/chip',
-        'vs_baseline': round(tpu / baseline, 2),
-    }))
+        'vs_baseline': round(bf16 / baseline, 2),
+    }), flush=True)
+    print(json.dumps({
+        'metric': 'HRNet-W48 384x288 pose forward throughput (int8, b32)',
+        'value': round(int8, 2),
+        'unit': 'img/s/chip',
+        'vs_baseline': round(int8 / baseline, 2),
+    }), flush=True)
+    mp = measure_multiperson_fps()
+    # generous-to-reference denominator: torch-CPU pose forward alone at
+    # 8 crops/frame (its detector + host crop loop would only slow it)
+    print(json.dumps({
+        'metric': 'W48-384x288 multi-person e2e (YOLOv3 detect+crop+pose'
+                  '+decode, fused, int8)',
+        'value': round(mp, 2),
+        'unit': 'frames/s/chip',
+        'vs_baseline': round(mp / (baseline / MP_SLOTS), 2),
+    }), flush=True)
 
 
 if __name__ == '__main__':
