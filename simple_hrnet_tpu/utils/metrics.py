@@ -70,18 +70,33 @@ def evaluate_pck_accuracy(output: jnp.ndarray, target: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def compute_oks(gt_kpts: np.ndarray, gt_area: float, dt_kpts: np.ndarray,
-                sigmas: np.ndarray = COCO_SIGMAS) -> np.ndarray:
+                sigmas: np.ndarray = COCO_SIGMAS,
+                gt_bbox=None) -> np.ndarray:
     """OKS of each detection vs one GT (COCOeval.computeOks semantics).
 
-    gt_kpts: (J, 3) [x, y, v]; dt_kpts: (M, J, 3).
+    gt_kpts: (J, 3) [x, y, v]; dt_kpts: (M, J, 3). When the GT has NO
+    visible keypoints (k1 == 0 — crowd regions), pycocotools measures each
+    detection keypoint's distance to the GT ``bbox`` expanded by its own
+    extent on every side (cocoeval.py computeOks `else` branch); pass
+    ``gt_bbox`` = [x, y, w, h] to reproduce that. Without a bbox the
+    keypoint-position distances are used as a fallback.
     """
     variances = (sigmas * 2) ** 2
     xg, yg, vg = gt_kpts[:, 0], gt_kpts[:, 1], gt_kpts[:, 2]
     k1 = np.count_nonzero(vg > 0)
     oks = np.zeros(dt_kpts.shape[0])
     for i, dt in enumerate(dt_kpts):
-        dx = dt[:, 0] - xg
-        dy = dt[:, 1] - yg
+        if k1 > 0 or gt_bbox is None:
+            dx = dt[:, 0] - xg
+            dy = dt[:, 1] - yg
+        else:
+            bx, by, bw, bh = (float(v) for v in gt_bbox)
+            x0, x1 = bx - bw, bx + 2 * bw
+            y0, y1 = by - bh, by + 2 * bh
+            dx = np.maximum(0.0, x0 - dt[:, 0]) + \
+                np.maximum(0.0, dt[:, 0] - x1)
+            dy = np.maximum(0.0, y0 - dt[:, 1]) + \
+                np.maximum(0.0, dt[:, 1] - y1)
         e = (dx ** 2 + dy ** 2) / variances / (gt_area + np.spacing(1)) / 2
         if k1 > 0:
             e = e[vg > 0]
@@ -147,7 +162,8 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
             dt_kpts = np.stack([np.asarray(d['keypoints'], np.float64)
                                 for d in dt_list])
             ious = np.stack([compute_oks(
-                np.asarray(g['keypoints'], np.float64), g['area'], dt_kpts)
+                np.asarray(g['keypoints'], np.float64), g['area'], dt_kpts,
+                gt_bbox=g.get('bbox'))
                 for g in gt_all]).T                      # (D, G)
         tp = np.zeros((n_dt, t_count), bool)
         ig = np.zeros((n_dt, t_count), bool)
@@ -222,7 +238,17 @@ def coco_eval_from_results(gt_annotations: dict, results: List[dict]
         return _pycocotools_eval(gt_annotations, results)
     except ImportError:
         pass
+    return coco_eval_native(gt_annotations, results)
 
+
+def coco_eval_native(gt_annotations: dict, results: List[dict]
+                     ) -> Dict[str, float]:
+    """The native COCOeval reimplementation (no pycocotools import).
+
+    Exposed separately so environments WITH pycocotools can bit-check the
+    native evaluator against it (scripts/dump_pycocotools_fixture.py +
+    tests/test_coco_eval_fixture.py).
+    """
     gts: Dict[int, List[dict]] = defaultdict(list)
     for ann in gt_annotations.get('annotations', []):
         if ann.get('category_id') != 1:
@@ -231,7 +257,8 @@ def coco_eval_from_results(gt_annotations: dict, results: List[dict]
         # semantics), never silently dropped
         kp = np.asarray(ann['keypoints'], np.float64).reshape(-1, 3)
         gts[ann['image_id']].append({'keypoints': kp, 'area': ann['area'],
-                                     'iscrowd': bool(ann.get('iscrowd'))})
+                                     'iscrowd': bool(ann.get('iscrowd')),
+                                     'bbox': ann.get('bbox')})
 
     dts: Dict[int, List[dict]] = defaultdict(list)
     for res in results:
