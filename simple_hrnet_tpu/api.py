@@ -358,6 +358,10 @@ class SimpleHRNet:
         aspect = res_h / res_w
         apply_fn = self._apply
         dtype = self.dtype
+        # 'bilinear_aa': PIL-exact antialiased per-person crops (the
+        # reference's transforms.Resize crop resampler, SimpleHRNet.py:
+        # 167-172) instead of the 4-tap bilinear sampler — PARITY.md #6
+        pil_crops = self.interpolation == 'bilinear_aa'
 
         @jax.jit
         def run(params, frames_bgr, rows, valid, start):
@@ -377,9 +381,10 @@ class SimpleHRNet:
             boxes = jnp.round(rows.reshape(-1, rows.shape[-1])[sel][:, :4])
             padded = I.pad_to_aspect(boxes, aspect, clamp_hw=clamp_hw)
             rgb = frames_bgr[..., ::-1]
+            crop_fn = I.crop_resize_pil if pil_crops else I.crop_resize
 
             def crop_one(f, box, orig_box):
-                return I.crop_resize(
+                return crop_fn(
                     rgb[f], box, (res_h, res_w),
                     valid_box=None if clamp_hw is not None else orig_box)
 
@@ -456,6 +461,7 @@ class SimpleHRNet:
         aspect = res_h / res_w
         apply_fn = self._apply
         dtype = self.dtype
+        pil_crops = self.interpolation == 'bilinear_aa'  # see _get_gather_crop
 
         @jax.jit
         def run(pose_params, det_params, frame_bgr):  # (H, W, 3) uint8 BGR
@@ -466,10 +472,11 @@ class SimpleHRNet:
             valid = valid[0][:max_people]
             boxes = jnp.round(rows[:, :4])
             padded = I.pad_to_aspect(boxes, aspect)
+            crop_fn = I.crop_resize_pil if pil_crops else I.crop_resize
 
             def crop_one(box, orig_box):
-                return I.crop_resize(rgb_frame, box, (res_h, res_w),
-                                     valid_box=orig_box)
+                return crop_fn(rgb_frame, box, (res_h, res_w),
+                               valid_box=orig_box)
 
             crops = jax.vmap(crop_one)(padded, boxes)
             crops = jnp.round(crops)

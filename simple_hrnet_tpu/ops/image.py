@@ -212,6 +212,109 @@ def resize_bilinear_aa(image: jnp.ndarray,
     return x
 
 
+def _triangle_mass(lo: jnp.ndarray, hi: jnp.ndarray, center: jnp.ndarray,
+                   fs: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form sum of the PIL triangle kernel over integer positions.
+
+    mass(c) = sum over integer y in [lo, hi) of
+              max(0, 1 - |y + 0.5 - c| / fs)
+    evaluated per output pixel (``center`` is (O,)); needed because PIL
+    normalizes its coeffs over the WHOLE crop window including regions that
+    lie outside the source frame (the np.pad zero borders are real pixels
+    of the PIL image), so a dense sum over frame columns would mis-scale
+    edge outputs. All inputs integer-valued floats.
+    """
+    # support: k > 0 iff c - fs - 0.5 < y < c + fs - 0.5
+    a = jnp.maximum(lo, jnp.floor(center - fs - 0.5) + 1.0)
+    b = jnp.minimum(hi - 1.0, jnp.ceil(center + fs - 0.5) - 1.0)
+    n = jnp.maximum(b - a + 1.0, 0.0)
+
+    def s(p, q):  # sum of (y + 0.5 - c) for integer y in [p, q]
+        m = jnp.maximum(q - p + 1.0, 0.0)
+        return m * ((p + q) * 0.5 + 0.5 - center)
+
+    mid = jnp.clip(jnp.ceil(center - 0.5) - 1.0, a - 1.0, b)  # last u<0
+    sum_abs = -s(a, mid) + s(mid + 1.0, b)
+    return n - sum_abs / fs
+
+
+def _pil_axis_weights(lo, hi, out_size: int, n_frame: int,
+                      valid_lo, valid_hi, quantize: bool, dtype):
+    """Dense (out_size, n_frame) PIL ``precompute_coeffs`` matrix built
+    from TRACED box bounds (integer-valued floats, frame coordinates).
+
+    Row i holds the bilinear-AA coefficients PIL would use to produce
+    output pixel i of a resize from the [lo, hi) crop window, placed at
+    the source frame positions; positions outside [valid_lo, valid_hi)
+    (the region with real pixels — the rest of the crop is np.pad zeros)
+    or outside the frame get weight 0. ``quantize`` rounds each
+    normalized coeff to PIL's 8bpc fixed point (1/2^22 —
+    normalize_coeffs_8bpc in src/libImaging/Resample.c).
+    """
+    f = dtype
+    lo = lo.astype(f)
+    hi = jnp.maximum(hi.astype(f), lo + 1.0)
+    size = hi - lo
+    scale = size / out_size
+    fs = jnp.maximum(scale, 1.0)
+    i = jnp.arange(out_size, dtype=f)
+    center = lo + (i + 0.5) * scale                      # (O,) frame coords
+    y = jnp.arange(n_frame, dtype=f)                     # (N,)
+    u = y[None, :] + 0.5 - center[:, None]
+    k = jnp.maximum(0.0, 1.0 - jnp.abs(u) / fs)          # (O, N)
+    in_box = (y[None, :] >= lo) & (y[None, :] <= hi - 1.0)
+    k = jnp.where(in_box, k, 0.0)
+    denom = _triangle_mass(lo, hi, center, fs)           # (O,)
+    k = k / jnp.maximum(denom, 1e-12)[:, None]
+    if quantize:
+        k = jnp.floor(k * float(1 << 22) + 0.5) * (1.0 / float(1 << 22))
+    in_valid = (y[None, :] >= valid_lo.astype(f)) & \
+        (y[None, :] <= valid_hi.astype(f) - 1.0)
+    return jnp.where(in_valid, k, 0.0)
+
+
+def crop_resize_pil(image: jnp.ndarray, box: jnp.ndarray,
+                    out_hw: Tuple[int, int],
+                    valid_box: Optional[jnp.ndarray] = None,
+                    quantize: bool = True) -> jnp.ndarray:
+    """PIL-exact per-person crop: reproduces the reference's
+    ``crop -> np.pad -> ToPILImage -> transforms.Resize -> ToTensor``
+    pipeline (SimpleHRNet.py:237-279) fully on device for a DYNAMIC box.
+
+    ``box``: the aspect-padded crop window (x1, y1, x2, y2, integer-valued
+    floats — the reference computes them in ints); ``valid_box``: the
+    original detection box holding real pixels (everything else in the
+    window is np.pad zero). Implementation: the PIL ``precompute_coeffs``
+    row/col coefficient matrices are built from the traced box against the
+    full frame axes (static shapes) and applied as two dense matmuls —
+    width pass first, then height, exactly PIL's two-pass order — with
+    PIL's uint8 fixed-point semantics (coeffs quantized to 1/2^22, each
+    pass rounded to uint8) when ``quantize``. Under x64 this is bit-exact
+    vs PIL (every intermediate is exactly representable in f64); in f32
+    (TPU production) a ~1e-7 coefficient drift can flip occasional
+    round-half cases by one 8-bit count (see tests/test_crop_pil.py).
+    Replaces the 4-tap ``crop_resize`` sampler when the facade is built
+    with ``interpolation='bilinear_aa'`` (PARITY.md #6).
+    """
+    oh, ow = out_hw
+    h, w = image.shape[0], image.shape[1]
+    f = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    if valid_box is None:
+        vx1, vy1, vx2, vy2 = x1, y1, x2, y2
+    else:
+        vx1, vy1, vx2, vy2 = (valid_box[i] for i in range(4))
+    ww = _pil_axis_weights(x1, x2, ow, w, vx1, vx2, quantize, f)  # (ow, W)
+    wh = _pil_axis_weights(y1, y2, oh, h, vy1, vy2, quantize, f)  # (oh, H)
+    t = jnp.einsum('ow,hwc->hoc', ww, image.astype(f))
+    if quantize:
+        t = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
+    out = jnp.einsum('qh,hoc->qoc', wh, t)
+    if quantize:
+        out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+    return out.astype(jnp.float32)
+
+
 def pad_to_aspect(boxes: jnp.ndarray, aspect: float,
                   clamp_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Expand xyxy boxes (float) to the target height/width aspect ratio.
@@ -230,20 +333,28 @@ def pad_to_aspect(boxes: jnp.ndarray, aspect: float,
     The reference computes, in ints: length = round(side * f); new bounds =
     center -/+ length // 2 with center = lo + side // 2. We reproduce that
     arithmetic (including the floor-divides) so decoded keypoints match.
+    Precision note: the reference's f64 expressions cancel algebraically —
+    round(h * correction) == round(w * aspect) and round(w / correction)
+    == round(h / aspect) — and the cancelled single-multiply forms stay
+    exact in this graph's f32 (the uncancelled w/correction chain was
+    observed to land 1 ulp below a half-integer and flip round(), shifting
+    the padded box by one pixel vs the reference).
     """
     x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
     w = x2 - x1
     h = y2 - y1
-    correction = aspect * w / jnp.maximum(h, 1e-6)
+    # sign(correction - 1) == sign(w * aspect - h); both sides are exact
+    # integer-valued f32 products for realistic boxes/aspects
+    cmp = w * aspect - h
 
     # correction > 1 -> grow y side
     cy = y1 + jnp.floor(h / 2)
-    ly = jnp.round(h * correction)
+    ly = jnp.round(w * aspect)
     y1_new = cy - jnp.floor(ly / 2)
     y2_new = cy + jnp.floor(ly / 2)
     # correction < 1 -> grow x side
     cx = x1 + jnp.floor(w / 2)
-    lx = jnp.round(w / jnp.maximum(correction, 1e-6))
+    lx = jnp.round(h * (1.0 / aspect))
     x1_new = cx - jnp.floor(lx / 2)
     x2_new = cx + jnp.floor(lx / 2)
 
@@ -253,8 +364,8 @@ def pad_to_aspect(boxes: jnp.ndarray, aspect: float,
         x1_new = jnp.maximum(x1_new, 0.0)
         x2_new = jnp.minimum(x2_new, float(clamp_hw[1]))
 
-    grow_y = correction > 1
-    grow_x = correction < 1
+    grow_y = cmp > 0
+    grow_x = cmp < 0
     return jnp.stack([
         jnp.where(grow_x, x1_new, x1),
         jnp.where(grow_y, y1_new, y1),
