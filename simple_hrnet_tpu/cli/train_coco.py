@@ -40,7 +40,8 @@ def main(exp_name,
          device=None,
          n_devices=None,
          dtype=None,
-         use_native_decode=False):
+         use_native_decode=False,
+         use_grouped_trunk=False):
     import jax
 
     from simple_hrnet_tpu.data.coco import COCODataset
@@ -86,7 +87,7 @@ def main(exp_name,
         model_nof_joints=model_nof_joints,
         model_bn_momentum=model_bn_momentum,
         flip_test_images=not disable_flip_test_images, mesh=mesh, seed=seed,
-        dtype=dtype)
+        dtype=dtype, use_grouped_trunk=use_grouped_trunk)
     train.run()
 
 
@@ -122,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--seed', '-s', type=int, default=1)
     parser.add_argument('--device', '-d', type=str, default=None)
     parser.add_argument('--n_devices', type=int, default=None)
+    parser.add_argument('--use_grouped_trunk', action='store_true',
+                        help='train with the block-diagonal grouped trunk '
+                             '(train/grouped.py): faster MXU shapes, '
+                             'parity-tested vs the plain path')
     parser.add_argument('--dtype', type=str, default=None,
                         choices=[None, 'bfloat16', 'float32'],
                         help='bfloat16 = mixed-precision step '

@@ -1,10 +1,15 @@
-"""Threaded prefetching data loader.
+"""Prefetching data loader (threads or worker processes).
 
 The async-input analogue of the reference's ``DataLoader(num_workers=4)``
-(Train.py:212-218): worker threads run the cv2-heavy ``__getitem__``
-(imread/warpAffine release the GIL) while the accelerator computes, and an
-ordered prefetch queue keeps batches ready ahead of the train step — host
-input never stalls the TPU (the north-star pipelining requirement).
+(Train.py:212-218): workers run the cv2-heavy ``__getitem__`` while the
+accelerator computes, and an ordered prefetch queue keeps batches ready
+ahead of the train step. Threads are the default (imread/warpAffine
+release the GIL); ``use_processes=True`` switches to a process pool — the
+reference's model — for hosts where Python-side augmentation/target work
+dominates. Whether the host feeds the step is a MEASURED property, not a
+given: see PERF.md "Input pipeline vs train step" (on this repo's 1-core
+build host the JPEG-bound pipeline peaks ~130 samples/s vs the 254 img/s
+W48 step; a >=4-core host clears it — decode cost scales with cores).
 """
 
 from __future__ import annotations
@@ -41,7 +46,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = False,
                  seed: int = 0, prefetch_batches: int = 3,
-                 collate_fn=default_collate):
+                 collate_fn=default_collate, use_processes: bool = False):
+        self.use_processes = use_processes
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -89,12 +95,24 @@ class DataLoader:
 
         def producer():
             try:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if self.use_processes:
+                    # the reference's num_workers subprocess model
+                    # (Train.py:212-218); the dataset ships to each worker
+                    # once via the pool initializer
+                    from concurrent.futures import ProcessPoolExecutor
+                    pool_cm = ProcessPoolExecutor(
+                        self.num_workers, initializer=_init_worker,
+                        initargs=(self.dataset,))
+                    fetch = _worker_fetch
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    pool_cm = ThreadPoolExecutor(self.num_workers)
+                    fetch = self.dataset.__getitem__
+                with pool_cm as pool:
                     for bidx in batches:
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, bidx))
+                        items = list(pool.map(fetch, bidx))
                         if not safe_put(('ok', self.collate_fn(items))):
                             return
             except BaseException as e:  # surface worker errors to consumer
@@ -114,3 +132,17 @@ class DataLoader:
                 yield payload
         finally:
             stop.set()
+
+
+# -- process-pool worker plumbing (module level: must be picklable) --------
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(index):
+    return _WORKER_DATASET[int(index)]

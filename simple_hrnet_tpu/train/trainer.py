@@ -59,7 +59,9 @@ class Train:
                  seed: int = 0,
                  resume_dir: Optional[str] = None,
                  debug_nans: bool = False,
-                 dtype: Optional[str] = None):
+                 dtype: Optional[str] = None,
+                 use_grouped_trunk: bool = False,
+                 use_process_workers: bool = False):
         self.exp_name = exp_name
         self.ds_train = ds_train
         self.ds_val = ds_val
@@ -92,7 +94,19 @@ class Train:
 
         # model
         if model_name in ('HRNet', 'hrnet'):
-            self.apply_fn = hrnet.apply
+            if use_grouped_trunk:
+                # block-diagonal batch-halves trunk, differentiable packing
+                # + pooled-BN batch stats (train/grouped.py) — same params
+                # tree, faster MXU shapes; requires batch % group == 0
+                from simple_hrnet_tpu.train import grouped as grouped_mod
+                group = min(4, max(2, 128 // model_c))
+                if batch_size % group:
+                    raise ValueError(
+                        f'use_grouped_trunk needs batch_size divisible by '
+                        f'{group} (got {batch_size})')
+                self.apply_fn = grouped_mod.make_apply(group)
+            else:
+                self.apply_fn = hrnet.apply
             self.params = hrnet.init(jax.random.PRNGKey(seed), c=model_c,
                                      nof_joints=model_nof_joints)
         else:
@@ -114,9 +128,11 @@ class Train:
         from simple_hrnet_tpu.data.loader import DataLoader
         self.dl_train = DataLoader(ds_train, batch_size=batch_size,
                                    shuffle=True, num_workers=num_workers,
-                                   drop_last=True, seed=seed)
+                                   drop_last=True, seed=seed,
+                                   use_processes=use_process_workers)
         self.dl_val = DataLoader(ds_val, batch_size=batch_size,
-                                 shuffle=False, num_workers=num_workers)
+                                 shuffle=False, num_workers=num_workers,
+                                 use_processes=use_process_workers)
         self.len_dl_train = len(self.dl_train)
         self.len_dl_val = len(self.dl_val)
 

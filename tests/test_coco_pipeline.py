@@ -105,6 +105,24 @@ def test_loader_batches_and_order(mini_coco):
         list(DataLoader(Broken(), batch_size=2))
 
 
+def test_loader_process_workers(mini_coco):
+    """use_processes=True (the reference's num_workers subprocess model,
+    Train.py:212-218) yields identical batches to the threaded loader."""
+    from simple_hrnet_tpu.data.coco import COCODataset
+    from simple_hrnet_tpu.data.loader import DataLoader
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, image_width=64, image_height=64)
+    threaded = list(DataLoader(ds, batch_size=3, shuffle=True, seed=7,
+                               num_workers=2))
+    procs = list(DataLoader(ds, batch_size=3, shuffle=True, seed=7,
+                            num_workers=2, use_processes=True))
+    assert len(procs) == len(threaded)
+    for (img_t, tgt_t, _, _), (img_p, tgt_p, _, _) in zip(threaded, procs):
+        np.testing.assert_array_equal(img_p, img_t)
+        np.testing.assert_array_equal(tgt_p, tgt_t)
+
+
 def test_loader_abandoned_iteration_stops_producer():
     """Breaking out of iteration early must unblock the producer thread
     (timed put re-checks the stop event) — no leaked thread per epoch."""
