@@ -358,10 +358,6 @@ class SimpleHRNet:
         aspect = res_h / res_w
         apply_fn = self._apply
         dtype = self.dtype
-        # 'bilinear_aa': PIL-exact antialiased per-person crops (the
-        # reference's transforms.Resize crop resampler, SimpleHRNet.py:
-        # 167-172) instead of the 4-tap bilinear sampler — PARITY.md #6
-        pil_crops = self.interpolation == 'bilinear_aa'
 
         @jax.jit
         def run(params, frames_bgr, rows, valid, start):
@@ -381,10 +377,18 @@ class SimpleHRNet:
             boxes = jnp.round(rows.reshape(-1, rows.shape[-1])[sel][:, :4])
             padded = I.pad_to_aspect(boxes, aspect, clamp_hw=clamp_hw)
             rgb = frames_bgr[..., ::-1]
-            crop_fn = I.crop_resize_pil if pil_crops else I.crop_resize
 
+            # person crops ALWAYS use the dense-matmul PIL resampler: it
+            # is the reference's exact crop arithmetic (transforms.Resize
+            # on a PIL image, SimpleHRNet.py:167-172 — the reference's
+            # `interpolation` flag never applied to crops either) AND the
+            # fast formulation on TPU: 5.5 us/crop vs 3100 us for the
+            # gather-based 4-tap sampler (PERF.md round 3 — XLA gathers
+            # are the single most expensive op in the old fused graph).
+            # The rgb[f] frame select costs one frame copy per crop slot
+            # (~0.07 ms), dwarfed by the gather alternative.
             def crop_one(f, box, orig_box):
-                return crop_fn(
+                return I.crop_resize_pil(
                     rgb[f], box, (res_h, res_w),
                     valid_box=None if clamp_hw is not None else orig_box)
 
@@ -461,7 +465,6 @@ class SimpleHRNet:
         aspect = res_h / res_w
         apply_fn = self._apply
         dtype = self.dtype
-        pil_crops = self.interpolation == 'bilinear_aa'  # see _get_gather_crop
 
         @jax.jit
         def run(pose_params, det_params, frame_bgr):  # (H, W, 3) uint8 BGR
@@ -472,11 +475,12 @@ class SimpleHRNet:
             valid = valid[0][:max_people]
             boxes = jnp.round(rows[:, :4])
             padded = I.pad_to_aspect(boxes, aspect)
-            crop_fn = I.crop_resize_pil if pil_crops else I.crop_resize
 
             def crop_one(box, orig_box):
-                return crop_fn(rgb_frame, box, (res_h, res_w),
-                               valid_box=orig_box)
+                # PIL dense-matmul crops: reference-exact AND 568x the
+                # gather sampler on TPU (see _get_gather_crop)
+                return I.crop_resize_pil(rgb_frame, box, (res_h, res_w),
+                                         valid_box=orig_box)
 
             crops = jax.vmap(crop_one)(padded, boxes)
             crops = jnp.round(crops)
@@ -488,8 +492,58 @@ class SimpleHRNet:
         self._fused_jit[key] = run
         return run
 
+    def _get_fused_frames(self, in_hw: Tuple[int, int], max_people: int,
+                          n_frames: int):
+        """Batched variant of the fused per-frame graph: ``n_frames``
+        frames detect+crop+pose+decode in ONE jit launch with
+        ``n_frames * max_people`` static crop slots. The aggregate-
+        throughput serving shape — the pose batch (e.g. 8 frames x 8
+        slots = 64 crops) rides the large-batch forward numbers instead
+        of the single-frame 8-crop batch that leaves the MXU idle
+        (PERF.md multi-person e2e)."""
+        key = (in_hw, max_people, n_frames)
+        if key in self._fused_jit:
+            return self._fused_jit[key]
+
+        det_fn = self.detector.pure_fn(in_hw)
+        res_h, res_w = self.resolution
+        aspect = res_h / res_w
+        apply_fn = self._apply
+        dtype = self.dtype
+
+        @jax.jit
+        def run(pose_params, det_params, frames_bgr):  # (F, H, W, 3) BGR
+            rgb = frames_bgr[..., ::-1]
+            rows, valid = det_fn(det_params, rgb.astype(jnp.float32))
+            rows = rows[:, :max_people]
+            valid = valid[:, :max_people]
+            boxes = jnp.round(rows[..., :4]).reshape(-1, 4)
+            padded = I.pad_to_aspect(boxes, aspect)
+
+            # nested vmap: outer maps the FRAME axis of rgb itself, inner
+            # the people slots — no dynamic rgb[f] indexing; crops via the
+            # PIL dense-matmul resampler (see _get_gather_crop)
+            def crop_frame(img, pb, ob):
+                return jax.vmap(lambda b, o: I.crop_resize_pil(
+                    img, b, (res_h, res_w), valid_box=o))(pb, ob)
+
+            crops = jax.vmap(crop_frame)(
+                rgb, padded.reshape(n_frames, max_people, 4),
+                boxes.reshape(n_frames, max_people, 4))
+            crops = crops.reshape(-1, res_h, res_w, 3)
+            x = I.normalize(jnp.clip(jnp.round(crops), 0.0, 255.0))
+            hm = apply_fn(pose_params, x, dtype=dtype)
+            pts = D.argmax_decode(hm, padded)
+            shp = (n_frames, max_people)
+            return (valid, padded.reshape(*shp, 4),
+                    hm.reshape(*shp, *hm.shape[1:]),
+                    pts.reshape(*shp, *pts.shape[1:]))
+
+        self._fused_jit[key] = run
+        return run
+
     def predict_stream(self, frames, max_people: int = 16,
-                       prefetch: int = 2):
+                       prefetch: int = 2, batch_frames: int = 1):
         """Pipelined video inference: yields (boxes, pts) per frame
         (plus heatmaps first if return_heatmaps).
 
@@ -497,6 +551,14 @@ class SimpleHRNet:
         consumption; because the whole per-frame pipeline is one jitted
         computation (no host sync), decode of frame i overlaps compute of
         frames i+1..i+prefetch. Requires multiperson=True.
+
+        ``batch_frames > 1`` runs the detector+pose over chunks of that
+        many frames in one launch (``_get_fused_frames``): higher
+        aggregate fps (the pose batch is batch_frames * max_people crops
+        — at one frame the 8-slot pose batch leaves the MXU mostly idle,
+        PERF.md), at the cost of batching latency. Results still yield
+        per frame, in order; a trailing partial chunk is padded
+        internally and only real frames are yielded.
         """
         import collections
 
@@ -541,14 +603,43 @@ class SimpleHRNet:
             res.append(out_pts)
             return res if len(res) > 1 else res[0]
 
-        for frame in frames:
-            run = self._get_fused_frame(frame.shape[:2], max_people)
-            pending.append(run(self.params, self.detector.params,
-                               np.ascontiguousarray(frame)))
-            if len(pending) > prefetch:
+        if batch_frames <= 1:
+            for frame in frames:
+                run = self._get_fused_frame(frame.shape[:2], max_people)
+                pending.append(run(self.params, self.detector.params,
+                                   np.ascontiguousarray(frame)))
+                if len(pending) > prefetch:
+                    yield finish(pending.popleft())
+            while pending:
                 yield finish(pending.popleft())
+            return
+
+        # chunked dispatch: one launch per batch_frames frames; pending
+        # holds (chunk_outputs, row, n_real) so results yield per frame
+        def finish_row(entry):
+            (valid, boxes, hm, pts), i = entry
+            return finish((valid[i], boxes[i], hm[i], pts[i]))
+
+        buf = []
+        for frame in frames:
+            buf.append(np.ascontiguousarray(frame))
+            if len(buf) == batch_frames:
+                run = self._get_fused_frames(buf[0].shape[:2], max_people,
+                                             batch_frames)
+                out = run(self.params, self.detector.params, np.stack(buf))
+                pending.extend((out, i) for i in range(batch_frames))
+                buf = []
+                while len(pending) > prefetch * batch_frames:
+                    yield finish_row(pending.popleft())
+        if buf:
+            n_real = len(buf)
+            buf = buf + [buf[-1]] * (batch_frames - n_real)
+            run = self._get_fused_frames(buf[0].shape[:2], max_people,
+                                         batch_frames)
+            out = run(self.params, self.detector.params, np.stack(buf))
+            pending.extend((out, i) for i in range(n_real))
         while pending:
-            yield finish(pending.popleft())
+            yield finish_row(pending.popleft())
 
     # ------------------------------------------------------------------
     # public API (reference SimpleHRNet.py:174-210 contract)

@@ -29,11 +29,18 @@ def normalize(x: jnp.ndarray, *, scale: float = 1.0 / 255.0) -> jnp.ndarray:
 
 
 def _bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
-                     fill: float = 0.0) -> jnp.ndarray:
+                     fill: float = 0.0,
+                     frame_index: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
     """Bilinear sampling of HWC ``image`` at float coords, zero-filled
     outside (matches the reference's zero padding of out-of-image crop
-    regions, SimpleHRNet.py:246-276)."""
-    h, w = image.shape[0], image.shape[1]
+    regions, SimpleHRNet.py:246-276). With ``frame_index``, ``image`` is
+    an NHWC stack and taps gather ``image[frame_index, y, x]`` — the
+    whole-frame ``image[f]`` select this replaces materializes a frame
+    copy PER CROP under vmap (measured 8x slowdown of the fused
+    multi-frame graph)."""
+    hdim = 0 if frame_index is None else 1
+    h, w = image.shape[hdim], image.shape[hdim + 1]
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     wy = (ys - y0)[..., None]
@@ -43,7 +50,12 @@ def _bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
 
     def tap(yi, xi):
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        v = image[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        if frame_index is None:
+            v = image[yc, xc]
+        else:
+            v = image[frame_index, yc, xc]
         return jnp.where(valid[..., None], v.astype(jnp.float32), fill)
 
     top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
@@ -53,7 +65,8 @@ def _bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
 
 def crop_resize(image: jnp.ndarray, box: jnp.ndarray,
                 out_hw: Tuple[int, int],
-                valid_box: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                valid_box: Optional[jnp.ndarray] = None,
+                frame_index: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Crop ``box`` (x1, y1, x2, y2 float) from HWC image and bilinearly
     resize to ``out_hw`` on device (half-pixel-center convention — the
     cv2.resize INTER_LINEAR sampling grid; NOTE the reference resizes crops
@@ -77,7 +90,7 @@ def crop_resize(image: jnp.ndarray, box: jnp.ndarray,
     xs = x1 + (jnp.arange(ow, dtype=jnp.float32)[None, :] + 0.5) * sx - 0.5
     ys = jnp.broadcast_to(ys, (oh, ow))
     xs = jnp.broadcast_to(xs, (oh, ow))
-    out = _bilinear_sample(image, ys, xs)
+    out = _bilinear_sample(image, ys, xs, frame_index=frame_index)
     if valid_box is not None:
         inside = ((xs >= valid_box[0] - 0.5) & (xs <= valid_box[2] - 0.5) &
                   (ys >= valid_box[1] - 0.5) & (ys <= valid_box[3] - 0.5))

@@ -65,6 +65,12 @@ def device_timer(fn: Callable, *args, iters_lo: int = 2, iters_hi: int = 12,
     Chains serialized invocations inside one jit via lax.scan and
     differences two chain lengths, cancelling tunnel RTT and dispatch
     overhead. ``fn`` must map its first arg to an array of any shape.
+
+    EVERY output leaf is reduced into the chained scalar: any output not
+    feeding the chain is dead code XLA deletes from the timed graph. (A
+    first version kept only the first leaf — timing the fused
+    detect+pose pipeline, whose first output is the detector's validity
+    mask, silently measured a detector-only graph.)
     """
     import jax
     import jax.numpy as jnp
@@ -74,9 +80,10 @@ def device_timer(fn: Callable, *args, iters_lo: int = 2, iters_hi: int = 12,
     def chained(v, r, iters):
         def body(carry, _):
             y = fn(carry, *r)
-            leaf = jax.tree_util.tree_leaves(y)[0]
-            return (carry + jnp.mean(leaf).astype(carry.dtype) * 1e-9,
-                    jnp.mean(leaf))
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(y):
+                acc = acc + jnp.mean(leaf).astype(jnp.float32)
+            return (carry + acc.astype(carry.dtype) * 1e-9, acc)
         _, means = jax.lax.scan(body, v, None, length=iters)
         return means.sum()
 
