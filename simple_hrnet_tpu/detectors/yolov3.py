@@ -219,7 +219,7 @@ class YOLOv3:
                 # suppress each other
                 offset = cls_pred[top_idx].astype(jnp.float32)[:, None] * (
                     2.0 * img_size)
-                keep_idx, keep_valid = nms_ops.nms_jax(
+                keep_idx, keep_valid = nms_ops.nms_ingraph(
                     boxes + offset, top_scores, nms_thres, max_det)
                 rows = jnp.concatenate([
                     boxes[keep_idx],

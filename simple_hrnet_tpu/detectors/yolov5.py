@@ -369,7 +369,7 @@ class YOLOv5:
                                    bx[:, 1] - bx[:, 3] / 2,
                                    bx[:, 0] + bx[:, 2] / 2,
                                    bx[:, 1] + bx[:, 3] / 2], axis=1)
-                keep_idx, keep_valid = nms_ops.nms_jax(
+                keep_idx, keep_valid = nms_ops.nms_ingraph(
                     boxes, top_scores, nms_thres, max_det)
                 rows = jnp.concatenate([
                     boxes[keep_idx],

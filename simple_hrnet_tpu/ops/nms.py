@@ -86,6 +86,20 @@ def nms_jax(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return keep_idx, keep_valid
 
 
+def nms_ingraph(boxes: jnp.ndarray, scores: jnp.ndarray,
+                iou_threshold: float, max_out: int):
+    """The production in-graph NMS: the Pallas bitmask+greedy kernel on
+    TPU (12.5 us vs 223 us for the XLA fori_loop at the detector's 256-
+    candidate shape — 17.8x, measured in PERF.md round 3; vmap-capable
+    via its custom_vmap rule), ``nms_jax`` elsewhere (CPU tests, any
+    backend without Mosaic). Same contract as ``nms_jax``. Replaces the
+    reference's CUDA bitmask kernel misc/nms/nms_kernel.cu:33-77."""
+    if jax.default_backend() == 'tpu':
+        from simple_hrnet_tpu.ops.pallas.nms_pallas import nms_pallas
+        return nms_pallas(boxes, scores, iou_threshold, max_out)
+    return nms_jax(boxes, scores, iou_threshold, max_out)
+
+
 # ---------------------------------------------------------------------------
 # Host NMS (exact reference parity; used in COCO eval)
 # ---------------------------------------------------------------------------

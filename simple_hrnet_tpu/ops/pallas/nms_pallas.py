@@ -18,11 +18,20 @@ Mosaic constraints shaping the code: no dynamic indexing of *values*
 through ``ref[pl.ds(i, 1), :]``), scalar outputs in SMEM, 2-D vector
 shapes. Everything lives in VMEM (N <= ~2048: N*N bools + N*4 floats
 << 16MB). Results match ops/nms.nms_jax exactly (parity-tested).
+
+Batching: a plain ``jax.vmap`` over ``pallas_call`` produces block specs
+Mosaic rejects (a squeezed leading block dim over the SMEM outputs), so
+``nms_pallas`` carries a ``custom_vmap`` rule that dispatches to an
+explicitly batched variant — grid over images, outputs laid out
+(B, 1, max_out) so every block's last two dims equal the array's. One
+vmap level (the detector's per-image map) is supported; measured in the
+YOLOv3 detect graph the batched kernel replaces ~222 us/image of
+XLA-unrolled greedy NMS with ~12 us/image (PERF.md round 3).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -30,15 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_kernel(boxes_ref, scores_ref, thresh_ref, keep_idx_ref,
-                keep_valid_ref, mask_ref, alive_ref):
-    """boxes (N, 4), scores (1, N), thresh (1, 1) -> keep slots in SMEM."""
-    n = boxes_ref.shape[0]
-    max_out = keep_idx_ref.shape[0]
-    boxes = boxes_ref[:]
-    scores = scores_ref[:]                     # (1, N)
-    thresh = thresh_ref[0, 0]
-
+def _nms_core(boxes, scores, thresh, n, max_out, write_slot, mask_ref,
+              alive_ref):
+    """Shared kernel body. boxes (N, 4), scores (1, N), thresh scalar;
+    ``write_slot(i, idx, valid)`` stores output slot i."""
     # Phase 1: full pairwise "IoU > thresh" mask (VPU, fused, no divides).
     x1 = boxes[:, 0]
     y1 = boxes[:, 1]
@@ -64,8 +68,7 @@ def _nms_kernel(boxes_ref, scores_ref, thresh_ref, keep_idx_ref,
         best_val = jnp.max(masked)
         ok = best_val > 0.0
         best = jnp.min(jnp.where(masked == best_val, col_ids, n))
-        keep_idx_ref[i] = jnp.where(ok, best, 0)
-        keep_valid_ref[i] = ok.astype(jnp.int32)
+        write_slot(i, jnp.where(ok, best, 0), ok.astype(jnp.int32))
         row = mask_ref[pl.ds(best, 1), :]                  # (1, N)
         keep_alive = alive & ~(row | (col_ids == best)) & ok
         alive_ref[:] = keep_alive.astype(jnp.float32)
@@ -74,16 +77,35 @@ def _nms_kernel(boxes_ref, scores_ref, thresh_ref, keep_idx_ref,
     jax.lax.fori_loop(0, max_out, body, 0)
 
 
-@partial(jax.jit, static_argnames=('max_out',))
-def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
-               iou_threshold: float, max_out: int):
-    """Greedy NMS fully on-chip. Same contract as ops/nms.nms_jax.
+def _nms_kernel(boxes_ref, scores_ref, thresh_ref, keep_idx_ref,
+                keep_valid_ref, mask_ref, alive_ref):
+    """boxes (N, 4), scores (1, N), thresh (1, 1) -> keep slots in SMEM."""
 
-    boxes: (N, 4) xyxy float32; scores (N,) with <= 0 marking padding.
-    Returns (keep_idx (max_out,) int32, keep_valid (max_out,) bool).
-    """
+    def write_slot(i, idx, valid):
+        keep_idx_ref[i] = idx
+        keep_valid_ref[i] = valid
+
+    _nms_core(boxes_ref[:], scores_ref[:], thresh_ref[0, 0],
+              boxes_ref.shape[0], keep_idx_ref.shape[0], write_slot,
+              mask_ref, alive_ref)
+
+
+def _nms_kernel_batched(boxes_ref, scores_ref, thresh_ref, keep_idx_ref,
+                        keep_valid_ref, mask_ref, alive_ref):
+    """Grid-over-images blocks: boxes (1, N, 4), scores (1, 1, N),
+    outputs (1, 1, max_out) SMEM slices of the (B, 1, max_out) arrays."""
+
+    def write_slot(i, idx, valid):
+        keep_idx_ref[0, 0, i] = idx
+        keep_valid_ref[0, 0, i] = valid
+
+    _nms_core(boxes_ref[0], scores_ref[0], thresh_ref[0, 0],
+              boxes_ref.shape[1], keep_idx_ref.shape[2], write_slot,
+              mask_ref, alive_ref)
+
+
+def _nms_call(boxes, scores, thresh, max_out):
     n = boxes.shape[0]
-    thresh = jnp.asarray([[iou_threshold]], jnp.float32)
     keep_idx, keep_valid = pl.pallas_call(
         _nms_kernel,
         out_shape=(
@@ -103,3 +125,70 @@ def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
                         pltpu.VMEM((1, n), jnp.float32)],
     )(boxes, scores.reshape(1, n), thresh)
     return keep_idx, keep_valid.astype(jnp.bool_)
+
+
+def _nms_call_batched(boxes, scores, thresh, max_out):
+    """boxes (B, N, 4), scores (B, N) -> ((B, max_out) idx, (B, max_out)
+    valid). One grid step per image; VMEM scratch is reused across steps
+    (each program fully rewrites it)."""
+    b, n = scores.shape
+    keep_idx, keep_valid = pl.pallas_call(
+        _nms_kernel_batched,
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, max_out), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, n, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, max_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, max_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.bool_),
+                        pltpu.VMEM((1, n), jnp.float32)],
+    )(boxes, scores.reshape(b, 1, n), thresh)
+    return keep_idx[:, 0], keep_valid[:, 0].astype(jnp.bool_)
+
+
+@lru_cache(maxsize=None)
+def _vmappable(max_out: int):
+    @jax.custom_batching.custom_vmap
+    def f(boxes, scores, thresh):
+        return _nms_call(boxes, scores, thresh, max_out)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, boxes, scores, thresh):
+        bb, sb, tb = in_batched
+        if not bb:
+            boxes = jnp.broadcast_to(boxes[None], (axis_size, *boxes.shape))
+        if not sb:
+            scores = jnp.broadcast_to(scores[None],
+                                      (axis_size, *scores.shape))
+        if tb:  # per-image thresholds can't differ in one kernel launch;
+            thresh = thresh[0]  # the detect graph's threshold is constant
+        idx, valid = _nms_call_batched(boxes, scores, thresh, max_out)
+        return (idx, valid), (True, True)
+
+    return f
+
+
+@partial(jax.jit, static_argnames=('max_out',))
+def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
+               iou_threshold: float, max_out: int):
+    """Greedy NMS fully on-chip. Same contract as ops/nms.nms_jax.
+
+    boxes: (N, 4) xyxy float32; scores (N,) with <= 0 marking padding.
+    Returns (keep_idx (max_out,) int32, keep_valid (max_out,) bool).
+    vmap-capable (one level) via the custom_vmap rule above.
+    """
+    thresh = jnp.asarray([[iou_threshold]], jnp.float32)
+    return _vmappable(max_out)(boxes, scores, thresh)

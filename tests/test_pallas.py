@@ -33,6 +33,31 @@ def test_nms_pallas_matches_nms_jax(n, rng):
                                   np.asarray(ref_idx)[np.asarray(ref_valid)])
 
 
+def test_nms_pallas_vmap_matches_nms_jax(rng):
+    """The custom_vmap rule (grid-batched kernel — what the vmapped
+    detect graph traces, detectors/yolov3.py via ops/nms.nms_ingraph)
+    matches a vmapped nms_jax slot-for-slot."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from simple_hrnet_tpu.ops import nms as N
+    from simple_hrnet_tpu.ops.pallas.nms_pallas import nms_pallas
+
+    bn, n = 5, 128
+    boxes = np.stack([_boxes_scores(rng, n)[0] for _ in range(bn)])
+    scores = np.stack([_boxes_scores(rng, n)[1] for _ in range(bn)])
+
+    ref_idx, ref_valid = jax.vmap(
+        lambda b, s: N.nms_jax(b, s, 0.45, 32))(boxes, scores)
+    with pltpu.force_tpu_interpret_mode():  # CPU test env
+        idx, valid = jax.vmap(
+            lambda b, s: nms_pallas(b, s, 0.45, 32))(boxes, scores)
+
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+    rv = np.asarray(ref_valid)
+    np.testing.assert_array_equal(np.asarray(idx)[rv],
+                                  np.asarray(ref_idx)[rv])
+
+
 def test_fused_basic_chain_matches_unfused(rng, monkeypatch):
     """Pallas fused 4-BasicBlock chain == sequential blocks (interpreter)."""
     monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
