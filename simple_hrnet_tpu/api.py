@@ -539,6 +539,20 @@ class SimpleHRNet:
                     hm.reshape(*shp, *hm.shape[1:]),
                     pts.reshape(*shp, *pts.shape[1:]))
 
+        if self.mesh is not None:
+            # SPMD serving: frames shard over the 'data' axis (params
+            # replicated); the detector forward, the (n_frames *
+            # max_people) crop/pose batch and the decode all inherit the
+            # frame-axis sharding, so each chip serves n_frames/n_devices
+            # frames per launch — the SURVEY §5.8 "batch-sharded crops"
+            # layout. Requires batch_frames % mesh.size == 0.
+            from simple_hrnet_tpu.parallel import (data_sharding,
+                                                   replicated_sharding)
+            repl = replicated_sharding(self.mesh)
+            data = data_sharding(self.mesh)
+            run = jax.jit(run.__wrapped__,
+                          in_shardings=(repl, repl, data),
+                          out_shardings=(data, data, data, data))
         self._fused_jit[key] = run
         return run
 
@@ -613,6 +627,11 @@ class SimpleHRNet:
             while pending:
                 yield finish(pending.popleft())
             return
+
+        if self.mesh is not None and batch_frames % self.mesh.size:
+            raise ValueError(
+                f'batch_frames={batch_frames} must divide the mesh '
+                f'({self.mesh.size} devices) so frames shard evenly')
 
         # chunked dispatch: one launch per batch_frames frames; pending
         # holds (chunk_outputs, row, n_real) so results yield per frame

@@ -19,7 +19,8 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
          yolo_version='v3', use_tiny_yolo=False, max_batch_size=16,
          csv_output_filename='output.csv', csv_delimiter=',',
          json_output_filename='output.json', device=None,
-         enable_tensorrt=False, max_frames=None, pipeline=False):
+         enable_tensorrt=False, max_frames=None, pipeline=False,
+         batch_frames=1):
     import cv2
 
     from simple_hrnet_tpu import SimpleHRNet
@@ -61,11 +62,15 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
             i += 1
 
     if pipeline:
-        # decode frames in a background thread + fused single-jit per-frame
-        # device pipeline: video IO, host work and TPU compute all overlap
+        # decode frames in a background thread + fused single-jit device
+        # pipeline: video IO, host work and TPU compute all overlap.
+        # batch_frames > 1 dispatches that many frames per launch — 2.1x
+        # aggregate fps at 8 (PERF.md multi-person e2e), for extraction
+        # throughput where per-frame latency doesn't matter
         from simple_hrnet_tpu.data.prefetch import prefetch_iter
         results = model.predict_stream(prefetch_iter(frames()),
-                                       max_people=max_batch_size)
+                                       max_people=max_batch_size,
+                                       batch_frames=batch_frames)
     else:
         results = (model.predict(f) for f in frames())
 
@@ -120,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--pipeline', action='store_true',
                         help='fused single-jit per-frame pipeline with '
                              'device-side prefetch (multi-person only)')
+    parser.add_argument('--batch_frames', type=int, default=1,
+                        help='with --pipeline: frames per fused launch '
+                             '(higher aggregate fps, batching latency; '
+                             '8 is the measured sweet spot)')
     return parser
 
 

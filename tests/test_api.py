@@ -347,6 +347,25 @@ def test_predict_stream_batched_frames(w32_checkpoint, rng):
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(b_b), np.asarray(b_p))
 
+    # SPMD serving: the same chunked stream under an 8-device mesh shards
+    # the frame axis (detector + crops + pose all frame-parallel) and
+    # yields identical per-frame results
+    from simple_hrnet_tpu.parallel import make_mesh
+    meshed = SimpleHRNet(32, 17, path, multiperson=False,
+                         resolution=(64, 64), return_bounding_boxes=True,
+                         yolo_model_def='yolov3-tiny', mesh=make_mesh(8))
+    meshed.multiperson = True
+    meshed.detector = PureStub()
+    with pytest.raises(ValueError):  # 6 does not divide 8 devices
+        next(meshed.predict_stream(frames, max_people=4, batch_frames=6))
+    sharded = list(meshed.predict_stream(frames * 2, max_people=4,
+                                         batch_frames=8))
+    assert len(sharded) == 10
+    for (b_p, p_p), (b_s, p_s) in zip(plain + plain, sharded):
+        np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_p),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_p))
+
 
 def test_predict_stream_single_person(w32_checkpoint, rng):
     from simple_hrnet_tpu import SimpleHRNet
