@@ -205,9 +205,11 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
         xs = apply_stage_module(params['stage4'][str(m)], xs, n_br, n_out,
                                 path=f'stage4.{m}', **stage_kw)
 
-    # Head: 1x1 conv with bias (hrnet.py:155), computed in f32.
-    out = L.conv2d(xs[0].astype(jnp.float32), params['final_layer'],
-                   stride=1, padding=0)
+    # Head: 1x1 conv with bias (hrnet.py:155), computed in at-least-f32
+    # (bf16 mixed precision upcasts; f64 parity checks stay f64).
+    out = L.conv2d(
+        xs[0].astype(jnp.promote_types(xs[0].dtype, jnp.float32)),
+        params['final_layer'], stride=1, padding=0)
     return out
 
 

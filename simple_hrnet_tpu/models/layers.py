@@ -96,7 +96,8 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32 if dtype is None else None,
+        preferred_element_type=(jnp.promote_types(x.dtype, jnp.float32)
+                                if dtype is None else None),
     )
     if 'bias' in p:
         out = out + p['bias'].astype(out.dtype)
@@ -124,7 +125,8 @@ def deconv2d(x: jnp.ndarray, p: Params, *, stride: int = 2, kernel_size: int = 4
         padding=[(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32 if dtype is None else None,
+        preferred_element_type=(jnp.promote_types(x.dtype, jnp.float32)
+                                if dtype is None else None),
     )
     if 'bias' in p:
         out = out + p['bias'].astype(out.dtype)
@@ -141,7 +143,10 @@ def batch_norm(x: jnp.ndarray, p: Params, *, train: bool = False,
     ``stats[path]`` so the caller can fold them into running stats.
     """
     if train:
-        x32 = x.astype(jnp.float32)
+        # batch stats in at-least-f32 (torch semantics); f64 inputs keep
+        # f64 so grouped-vs-plain parity is assertable without the f32
+        # E[x^2]-m^2 cancellation noise (tests/test_train_grouped.py)
+        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(x32, axis=(0, 1, 2))
         mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
         if axis_name is not None:

@@ -77,7 +77,8 @@ def _conv_grouped(x: jnp.ndarray, conv_p: Params, group: int, *,
         x, kernel, (stride, stride),
         [(padding, padding), (padding, padding)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32 if dtype is None else None)
+        preferred_element_type=(jnp.promote_types(x.dtype, jnp.float32)
+                                if dtype is None else None))
     if 'bias' in conv_p:
         out = out + jnp.tile(conv_p['bias'], group).astype(out.dtype)
     return out
@@ -91,7 +92,7 @@ def _bn_grouped(x: jnp.ndarray, p: Params, group: int, *, train: bool,
     (equal sub-batches -> exact full-batch mean/E[x^2])."""
     c = p['mean'].shape[0]
     if train:
-        x32 = x.astype(jnp.float32)
+        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         m_blocks = jnp.mean(x32, axis=(0, 1, 2)).reshape(group, c)
         sq_blocks = jnp.mean(jnp.square(x32), axis=(0, 1, 2)).reshape(group,
                                                                       c)
@@ -242,7 +243,8 @@ def apply_grouped(params: Params, x: jnp.ndarray, *, group: int = 2,
         xs = _stage_module_g(params['stage4'][str(m)], xs, n_br, n_out,
                              group, c_base, f'stage4.{m}', **kw)
 
-    out = _ungroup(xs[0], group, c_base).astype(jnp.float32)
+    out = _ungroup(xs[0], group, c_base)
+    out = out.astype(jnp.promote_types(out.dtype, jnp.float32))
     return L.conv2d(out, params['final_layer'], stride=1, padding=0)
 
 
