@@ -50,6 +50,11 @@ def letterbox_device(frames: jnp.ndarray, img_size: int, in_h: int, in_w: int
 
     Matches the reference's cv2 INTER_LINEAR resize + 127.5 border
     (YOLOv3.py:43-44) with the same integer rounding of the pad offsets.
+    The resize is two dense matmuls (MXU) + a static grey pad — the
+    original gather-based sampler dominated the fused detect graph on TPU
+    (the same 3-orders-of-magnitude gather penalty the person crops hit,
+    PERF.md), and it blended a <1 px grey fringe into the border pixels
+    where cv2 resizes first and pads after.
     """
     from simple_hrnet_tpu.ops import image as I
 
@@ -57,23 +62,11 @@ def letterbox_device(frames: jnp.ndarray, img_size: int, in_h: int, in_w: int
     top = int(round(dh - 0.1))
     left = int(round(dw - 0.1))
 
-    def one(frame):
-        # output pixel (y, x) samples source ((y - top + 0.5) / r - 0.5, ...)
-        ys = (jnp.arange(img_size, dtype=jnp.float32)[:, None] - top + 0.5) \
-            * (in_h / nh) - 0.5
-        xs = (jnp.arange(img_size, dtype=jnp.float32)[None, :] - left + 0.5) \
-            * (in_w / nw) - 0.5
-        ys = jnp.broadcast_to(ys, (img_size, img_size))
-        xs = jnp.broadcast_to(xs, (img_size, img_size))
-        inside = ((jnp.arange(img_size) >= top) &
-                  (jnp.arange(img_size) < top + nh))[:, None] & \
-                 ((jnp.arange(img_size) >= left) &
-                  (jnp.arange(img_size) < left + nw))[None, :]
-        sampled = I._bilinear_sample(frame.astype(jnp.float32), ys, xs,
-                                     fill=127.5)
-        return jnp.where(inside[..., None], sampled, 127.5) / 255.0
-
-    return jax.vmap(one)(frames)
+    x = I.resize_linear(frames.astype(jnp.float32), (nh, nw))
+    out = jnp.pad(x, ((0, 0), (top, img_size - top - nh),
+                      (left, img_size - left - nw), (0, 0)),
+                  constant_values=127.5)
+    return out / 255.0
 
 
 def scale_coords_params(img_size: int, shape_hw: Tuple[int, int]

@@ -131,6 +131,38 @@ def resize_bilinear(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
         [0.0, 0.0, float(image.shape[2]), float(image.shape[1])]), out_hw))(image)
 
 
+def _linear_weights(in_size: int, out_size: int) -> 'np.ndarray':
+    """Dense (out, in) bilinear matrix: half-pixel centers, edge clamp —
+    cv2.resize INTER_LINEAR arithmetic (float path).
+
+    Same MXU-matmul formulation as ``_cubic_weights``: on TPU a gather-
+    based sampler costs ~3 orders of magnitude more than two dense
+    matmuls at these shapes (PERF.md crop measurements: 3100 us vs
+    5.5 us per 384x288 crop)."""
+    import numpy as np
+
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        base = int(np.floor(src))
+        frac = src - base
+        w[i, min(max(base, 0), in_size - 1)] += 1.0 - frac
+        w[i, min(max(base + 1, 0), in_size - 1)] += frac
+    return w
+
+
+def resize_linear(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-equivalent bilinear resize as two dense matmuls
+    (HWC/NHWC), built once per static shape at trace time."""
+    wh = jnp.asarray(_linear_weights(image.shape[-3], out_hw[0]))
+    ww = jnp.asarray(_linear_weights(image.shape[-2], out_hw[1]))
+    x = image.astype(jnp.float32)
+    x = jnp.einsum('oh,...hwc->...owc', wh, x)
+    x = jnp.einsum('pw,...hwc->...hpc', ww, x)
+    return x
+
+
 def _cubic_weights(in_size: int, out_size: int, a: float = -0.75) -> 'np.ndarray':
     """Dense (out, in) bicubic interpolation matrix with cv2's kernel (a=-0.75)
     and border clamping — bit-compatible with cv2.resize INTER_CUBIC.
