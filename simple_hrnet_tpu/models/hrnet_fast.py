@@ -238,8 +238,15 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
 
 
 def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
-                  dtype=None, fuse_up_pallas: bool = False) -> jnp.ndarray:
-    """Forward with the grouped trunk (pads odd batches internally)."""
+                  dtype=None, fuse_up_pallas: bool = False,
+                  upto: Optional[str] = None) -> jnp.ndarray:
+    """Forward with the grouped trunk (pads odd batches internally).
+
+    ``upto`` ('stem'|'t1'|'stage2'|'stage3'|'stage4') returns the
+    intermediate activation(s) at that point instead of heatmaps —
+    nested-prefix profiling support (scripts/bench_int8_breakdown.py);
+    production callers leave it None.
+    """
     # group is static (derived from shapes, safe under jit tracing);
     # ``params`` may carry int8-quantized nodes (kernel_q) — models/quantize
     t1n = params['transition1']['0']['0']
@@ -270,12 +277,16 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
         for i in range(4):
             h = L.bottleneck(params['layer1'][str(i)], h, **kw)
         hg = _group(h, group)
+    if upto == 'stem':
+        return hg
     t1 = packed['transition1']
     xs = [
         L.conv_bn(hg, t1['0'], '0', '1', stride=1, padding=1, act=True, **kw),
         L.conv_bn(hg, t1['1']['0'], '0', '1', stride=2, padding=1, act=True,
                   **kw),
     ]
+    if upto == 't1':
+        return xs
 
     n_mod, n_br = hrnet.STAGE_CFG['stage2']
     for m in range(n_mod):
@@ -283,6 +294,8 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
                                    params['stage2'][str(m)], xs, n_br, n_br,
                                    group, c_base, dtype,
                                    fuse_up_pallas=fuse_up_pallas)
+    if upto == 'stage2':
+        return xs
     xs = xs + [L.conv_bn(xs[-1], packed['transition2']['2']['0'], '0', '1',
                          stride=2, padding=1, act=True, **kw)]
 
@@ -292,6 +305,8 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
                                    params['stage3'][str(m)], xs, n_br, n_br,
                                    group, c_base, dtype,
                                    fuse_up_pallas=fuse_up_pallas)
+    if upto == 'stage3':
+        return xs
     xs = xs + [L.conv_bn(xs[-1], packed['transition3']['3']['0'], '0', '1',
                          stride=2, padding=1, act=True, **kw)]
 
@@ -303,6 +318,8 @@ def apply_grouped(params: Params, packed: Params, x: jnp.ndarray,
                                    group, c_base, dtype,
                                    fuse_up_pallas=fuse_up_pallas)
 
+    if upto == 'stage4':
+        return xs
     out = _ungroup(xs[0], group, c_base).astype(jnp.float32)
     out = L.conv2d(out, params['final_layer'], stride=1, padding=0)
     return out[:orig_b]
