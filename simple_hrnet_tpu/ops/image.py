@@ -349,6 +349,13 @@ def crop_resize_pil(image: jnp.ndarray, box: jnp.ndarray,
         vx1, vy1, vx2, vy2 = x1, y1, x2, y2
     else:
         vx1, vy1, vx2, vy2 = (valid_box[i] for i in range(4))
+    # The reference's numpy slice truncates the crop at the frame edge
+    # BEFORE np.pad (SimpleHRNet.py:274-277, boxes are clamped at min=0
+    # only — YOLOv3.py scale_coords), so a detection overhanging the
+    # bottom/right shrinks the PIL source: the window's hi shifts down by
+    # the overhang while the np.pad zeros keep their size.
+    x2 = x2 - jnp.maximum(vx2 - w, 0.0)
+    y2 = y2 - jnp.maximum(vy2 - h, 0.0)
     ww = _pil_axis_weights(x1, x2, ow, w, vx1, vx2, quantize, f)  # (ow, W)
     wh = _pil_axis_weights(y1, y2, oh, h, vy1, vy2, quantize, f)  # (oh, H)
     t = jnp.einsum('ow,hwc->hoc', ww, image.astype(f))

@@ -98,6 +98,31 @@ def test_crop_pil_f32_production(frame):
         assert (diff > 0).mean() < 0.02, box
 
 
+OVERHANG_BOXES = [
+    # boxes clamped at min=0 only (YOLOv3.py scale_coords), so x2/y2 can
+    # exceed the frame; the reference's numpy slice truncates the crop at
+    # the edge BEFORE np.pad, shrinking the PIL source geometry
+    (250, 100, 340, 200),   # x2 > W on the y-padded axis' partner
+    (40, 150, 120, 260),    # y2 > H, correction < 1 (x gets the padding)
+    (100, 180, 200, 260),   # y2 > H on the padded axis itself
+    (280, 180, 360, 270),   # both axes overhang
+]
+
+
+def test_crop_pil_edge_overhang_matches_reference(frame):
+    """Detections overhanging the frame's bottom/right: the reference
+    truncates the crop at the edge (SimpleHRNet.py:274-277), changing the
+    resize geometry — the device crop must reproduce that, not model the
+    overhang as zero padding."""
+    with jax.enable_x64(True):
+        for box in OVERHANG_BOXES:
+            ref, ref_box = reference_crop(frame, box, RES)
+            got, padded = _ours(frame, box, RES)
+            np.testing.assert_array_equal(padded, np.asarray(ref_box))
+            diff = np.abs(got - ref.astype(np.float32))
+            assert diff.max() == 0.0, (box, diff.max(), (diff > 0).mean())
+
+
 def test_crop_pil_unpadded_clamped_box(frame):
     """valid_box=None: the batch path's clamped-box crop (real pixels,
     no zero padding — SimpleHRNet.py:393-410)."""
