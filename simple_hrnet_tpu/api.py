@@ -639,24 +639,34 @@ class SimpleHRNet:
             (valid, boxes, hm, pts), i = entry
             return finish((valid[i], boxes[i], hm[i], pts[i]))
 
+        def dispatch(buf):
+            # short chunks (trailing frames, or a mid-stream resolution
+            # change) pad by repeating the last frame; only real rows are
+            # queued for yield
+            n_real = len(buf)
+            pad = buf + [buf[-1]] * (batch_frames - n_real)
+            run = self._get_fused_frames(pad[0].shape[:2], max_people,
+                                         batch_frames)
+            out = run(self.params, self.detector.params, np.stack(pad))
+            pending.extend((out, i) for i in range(n_real))
+
         buf = []
         for frame in frames:
-            buf.append(np.ascontiguousarray(frame))
-            if len(buf) == batch_frames:
-                run = self._get_fused_frames(buf[0].shape[:2], max_people,
-                                             batch_frames)
-                out = run(self.params, self.detector.params, np.stack(buf))
-                pending.extend((out, i) for i in range(batch_frames))
+            f = np.ascontiguousarray(frame)
+            if buf and f.shape != buf[0].shape:
+                # heterogeneous stream (camera switch / mixed sources):
+                # flush the current chunk so every launch is one geometry,
+                # matching the batch_frames=1 path's per-shape support
+                dispatch(buf)
                 buf = []
-                while len(pending) > prefetch * batch_frames:
-                    yield finish_row(pending.popleft())
+            buf.append(f)
+            if len(buf) == batch_frames:
+                dispatch(buf)
+                buf = []
+            while len(pending) > prefetch * batch_frames:
+                yield finish_row(pending.popleft())
         if buf:
-            n_real = len(buf)
-            buf = buf + [buf[-1]] * (batch_frames - n_real)
-            run = self._get_fused_frames(buf[0].shape[:2], max_people,
-                                         batch_frames)
-            out = run(self.params, self.detector.params, np.stack(buf))
-            pending.extend((out, i) for i in range(n_real))
+            dispatch(buf)
         while pending:
             yield finish_row(pending.popleft())
 

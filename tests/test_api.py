@@ -367,6 +367,51 @@ def test_predict_stream_batched_frames(w32_checkpoint, rng):
         np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_p))
 
 
+def test_predict_stream_batched_mixed_shapes(w32_checkpoint, rng):
+    """A heterogeneous stream (camera switch mid-stream) must not crash the
+    batched path: a shape change flushes the current chunk (padded) so
+    every launch is one geometry, like the batch_frames=1 path."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+
+    class PureStub:
+        params = {}
+
+        def pure_fn(self, in_hw):
+            import jax.numpy as jnp
+
+            def fn(params, frames):
+                rows = jnp.zeros((frames.shape[0], 8, 7), jnp.float32)
+                rows = rows.at[:, 0, :4].set(
+                    jnp.asarray([10.0, 10.0, 60.0, 70.0]))
+                rows = rows.at[:, 0, 4:6].set(0.9)
+                valid = jnp.zeros((frames.shape[0], 8), bool)
+                valid = valid.at[:, 0].set(True)
+                return rows, valid
+            return fn
+
+    model.detector = PureStub()
+    a = [rng.uniform(0, 255, (100, 120, 3)).astype(np.uint8)
+         for _ in range(3)]
+    b = [rng.uniform(0, 255, (80, 96, 3)).astype(np.uint8)
+         for _ in range(3)]
+    frames = [a[0], a[1], b[0], b[1], b[2], a[2]]  # switch, switch back
+
+    plain = list(model.predict_stream(frames, max_people=4, prefetch=2))
+    batched = list(model.predict_stream(frames, max_people=4, prefetch=1,
+                                        batch_frames=2))
+    assert len(batched) == len(plain) == 6
+    for (b_p, p_p), (b_b, p_b) in zip(plain, batched):
+        np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_p),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_b), np.asarray(b_p))
+
+
 def test_predict_stream_single_person(w32_checkpoint, rng):
     from simple_hrnet_tpu import SimpleHRNet
 
