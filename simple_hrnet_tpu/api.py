@@ -43,6 +43,16 @@ def _buckets(n: int, max_batch: int, multiple: int = 1) -> int:
     return min(b, cap)
 
 
+def _pose_tail(apply_fn, params, crops, padded_boxes, dtype):
+    """Shared tail of every fused pipeline: uint8-rounded crops ->
+    ImageNet normalize -> pose forward -> heatmap argmax decode into the
+    padded-box frame coordinates (SimpleHRNet.py:279-296 semantics)."""
+    x = I.normalize(jnp.clip(jnp.round(crops), 0.0, 255.0))
+    hm = apply_fn(params, x, dtype=dtype)
+    pts = D.argmax_decode(hm, padded_boxes)
+    return hm, pts
+
+
 class SimpleHRNet:
     """Multi-person 2D pose estimation on TPU.
 
@@ -393,10 +403,7 @@ class SimpleHRNet:
                     valid_box=None if clamp_hw is not None else orig_box)
 
             crops = jax.vmap(crop_one)(fi, padded, boxes)
-            crops = jnp.round(crops)
-            x = I.normalize(jnp.clip(crops, 0.0, 255.0))
-            hm = apply_fn(params, x, dtype=dtype)
-            pts = D.argmax_decode(hm, padded)
+            hm, pts = _pose_tail(apply_fn, params, crops, padded, dtype)
             return total, counts, hm, padded, pts
 
         if self.mesh is not None:
@@ -455,39 +462,20 @@ class SimpleHRNet:
         anywhere between stages, so consecutive frames pipeline freely on
         the device queue (the reference crosses host<->device >= 2x per
         frame, SURVEY.md §3.1). People count is static (max_people slots,
-        masked by validity)."""
+        masked by validity).
+
+        Thin per-frame view over ``_get_fused_frames(n_frames=1)`` — one
+        traced body for the single and batched serving paths, so parity
+        fixes land in both by construction."""
         key = (in_hw, max_people)
         if key in self._fused_jit:
             return self._fused_jit[key]
+        batched = self._get_fused_frames(in_hw, max_people, 1)
 
-        det_fn = self.detector.pure_fn(in_hw)
-        res_h, res_w = self.resolution
-        aspect = res_h / res_w
-        apply_fn = self._apply
-        dtype = self.dtype
-
-        @jax.jit
         def run(pose_params, det_params, frame_bgr):  # (H, W, 3) uint8 BGR
-            rgb_frame = frame_bgr[..., ::-1]
-            rows, valid = det_fn(det_params, rgb_frame[None].astype(
-                jnp.float32))
-            rows = rows[0][:max_people]
-            valid = valid[0][:max_people]
-            boxes = jnp.round(rows[:, :4])
-            padded = I.pad_to_aspect(boxes, aspect)
-
-            def crop_one(box, orig_box):
-                # PIL dense-matmul crops: reference-exact AND 568x the
-                # gather sampler on TPU (see _get_gather_crop)
-                return I.crop_resize_pil(rgb_frame, box, (res_h, res_w),
-                                         valid_box=orig_box)
-
-            crops = jax.vmap(crop_one)(padded, boxes)
-            crops = jnp.round(crops)
-            x = I.normalize(jnp.clip(crops, 0.0, 255.0))
-            hm = apply_fn(pose_params, x, dtype=dtype)
-            pts = D.argmax_decode(hm, padded)
-            return valid, padded, hm, pts
+            valid, boxes, hm, pts = batched(pose_params, det_params,
+                                            frame_bgr[None])
+            return valid[0], boxes[0], hm[0], pts[0]
 
         self._fused_jit[key] = run
         return run
@@ -531,21 +519,20 @@ class SimpleHRNet:
                 rgb, padded.reshape(n_frames, max_people, 4),
                 boxes.reshape(n_frames, max_people, 4))
             crops = crops.reshape(-1, res_h, res_w, 3)
-            x = I.normalize(jnp.clip(jnp.round(crops), 0.0, 255.0))
-            hm = apply_fn(pose_params, x, dtype=dtype)
-            pts = D.argmax_decode(hm, padded)
+            hm, pts = _pose_tail(apply_fn, pose_params, crops, padded, dtype)
             shp = (n_frames, max_people)
             return (valid, padded.reshape(*shp, 4),
                     hm.reshape(*shp, *hm.shape[1:]),
                     pts.reshape(*shp, *pts.shape[1:]))
 
-        if self.mesh is not None:
+        if self.mesh is not None and n_frames % self.mesh.size == 0:
             # SPMD serving: frames shard over the 'data' axis (params
             # replicated); the detector forward, the (n_frames *
             # max_people) crop/pose batch and the decode all inherit the
             # frame-axis sharding, so each chip serves n_frames/n_devices
             # frames per launch — the SURVEY §5.8 "batch-sharded crops"
-            # layout. Requires batch_frames % mesh.size == 0.
+            # layout. Indivisible n_frames (notably the n_frames=1 view
+            # behind _get_fused_frame) run unsharded on the default device.
             from simple_hrnet_tpu.parallel import (data_sharding,
                                                    replicated_sharding)
             repl = replicated_sharding(self.mesh)
