@@ -93,11 +93,21 @@ def nms_ingraph(boxes: jnp.ndarray, scores: jnp.ndarray,
     candidate shape — 17.8x, measured in PERF.md round 3; vmap-capable
     via its custom_vmap rule), ``nms_jax`` elsewhere (CPU tests, any
     backend without Mosaic). Same contract as ``nms_jax``. Replaces the
-    reference's CUDA bitmask kernel misc/nms/nms_kernel.cu:33-77."""
-    if jax.default_backend() == 'tpu':
+    reference's CUDA bitmask kernel misc/nms/nms_kernel.cu:33-77.
+
+    Dispatch is per LOWERING PLATFORM (lax.platform_dependent), not the
+    process default backend, so a CPU-targeted trace in a TPU process
+    (jax.jit(..., device=cpu) debug/eval graphs) gets the XLA fallback
+    instead of an unloadable Mosaic call."""
+    def _pallas(b, s):
         from simple_hrnet_tpu.ops.pallas.nms_pallas import nms_pallas
-        return nms_pallas(boxes, scores, iou_threshold, max_out)
-    return nms_jax(boxes, scores, iou_threshold, max_out)
+        return nms_pallas(b, s, iou_threshold, max_out)
+
+    def _xla(b, s):
+        return nms_jax(b, s, iou_threshold, max_out)
+
+    return jax.lax.platform_dependent(boxes, scores,
+                                      tpu=_pallas, default=_xla)
 
 
 # ---------------------------------------------------------------------------
