@@ -136,7 +136,10 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
     tp_rows: List[np.ndarray] = []       # (T,) matched-to-regular-gt
     ig_rows: List[np.ndarray] = []       # (T,) ignored detection
     total_gt = 0
-    img_ids = set(gts) | set(dts)
+    # sorted ids: pycocotools evaluates p.imgIds = np.unique(...) (sorted),
+    # and the global mergesort over scores breaks ties by image order — a
+    # set's iteration order would make tied-score AP nondeterministic
+    img_ids = sorted(set(gts) | set(dts))
     for img in img_ids:
         gt_all = list(gts.get(img, []))
         gt_ig = []
