@@ -43,6 +43,57 @@ def _buckets(n: int, max_batch: int, multiple: int = 1) -> int:
     return min(b, cap)
 
 
+def _slot_ladder(cap: int):
+    """Power-of-two people-slot rungs up to ``cap`` (always included):
+    cap=16 -> [2, 4, 8, 16]. The adaptive stream walks this ladder so the
+    pose batch — 84%+ of the fused graph at serving batch sizes, PERF.md
+    — tracks the scene's actual person count instead of the worst case."""
+    ladder = []
+    s = 2
+    while s < cap:
+        ladder.append(s)
+        s *= 2
+    ladder.append(cap)
+    return ladder
+
+
+class _SlotController:
+    """Hysteresis controller for adaptive people-slot sizing.
+
+    Escalation is handled by the caller (it must re-run the saturated
+    launch); this object tracks the current rung and steps DOWN only after
+    a full window of observed per-launch people counts fits strictly
+    below the next rung down (strictly: landing exactly at a rung's
+    capacity would immediately saturate it and re-escalate — thrash)."""
+
+    def __init__(self, cap: int, window: int):
+        import collections
+        self.ladder = _slot_ladder(cap)
+        self.idx = 0
+        self.cap = cap
+        self.counts = collections.deque(maxlen=max(1, window))
+
+    @property
+    def slots(self) -> int:
+        return self.ladder[self.idx]
+
+    def escalate(self, saturated_slots: int) -> int:
+        """Move to the first rung ABOVE a saturated launch's slot count
+        (a saturated count means the detector's row truncation may have
+        dropped real people — SURVEY.md §3.1's dynamic-people problem)."""
+        while self.ladder[self.idx] <= saturated_slots:
+            self.idx += 1
+        self.counts.clear()
+        return self.ladder[self.idx]
+
+    def observe(self, n: int) -> None:
+        self.counts.append(n)
+        if (self.idx > 0 and len(self.counts) == self.counts.maxlen
+                and max(self.counts) < self.ladder[self.idx - 1]):
+            self.idx -= 1
+            self.counts.clear()
+
+
 def _pose_tail(apply_fn, params, crops, padded_boxes, dtype):
     """Shared tail of every fused pipeline: uint8-rounded crops ->
     ImageNet normalize -> pose forward -> heatmap argmax decode into the
@@ -543,8 +594,24 @@ class SimpleHRNet:
         self._fused_jit[key] = run
         return run
 
+    def _finish_fused(self, entry):
+        """Convert one frame's fused-graph outputs (device arrays) to the
+        reference's per-frame predict() return structure."""
+        valid, boxes, hm, pts = entry
+        n = int(np.asarray(valid).sum())
+        out_boxes = np.asarray(boxes)[:n].astype(np.int32)
+        out_pts = np.asarray(pts)[:n].astype(np.float32)
+        res = []
+        if self.return_heatmaps:
+            res.append(np.transpose(np.asarray(hm)[:n], (0, 3, 1, 2)))
+        if self.return_bounding_boxes:
+            res.append(out_boxes)
+        res.append(out_pts)
+        return res if len(res) > 1 else res[0]
+
     def predict_stream(self, frames, max_people: int = 16,
-                       prefetch: int = 2, batch_frames: int = 1):
+                       prefetch: int = 2, batch_frames: int = 1,
+                       adaptive_slots: bool = False, slot_window: int = 16):
         """Pipelined video inference: yields (boxes, pts) per frame
         (plus heatmaps first if return_heatmaps).
 
@@ -560,8 +627,25 @@ class SimpleHRNet:
         PERF.md), at the cost of batching latency. Results still yield
         per frame, in order; a trailing partial chunk is padded
         internally and only real frames are yielded.
+
+        ``adaptive_slots=True`` treats ``max_people`` as a CAP and sizes
+        the static people-slot count to the scene: launches run at the
+        smallest power-of-two rung that recent frames fit in, a saturated
+        launch (every slot valid below the cap — the detector's row
+        truncation may have dropped people) is re-run at the next rung
+        up, and the rung steps back down after ``slot_window`` launches
+        fit strictly below it. The pose batch is 84%+ of the fused graph
+        (PERF.md), so sparse scenes run ~slots/cap of the worst-case
+        work; results are identical to the fixed-slot stream (detector
+        rows are score-ordered, so non-saturated truncation is exact).
+        Each rung compiles its own graph on first use (see ``warmup``).
         """
         import collections
+
+        if adaptive_slots and self.detector is not None:
+            yield from self._stream_adaptive(frames, max_people, prefetch,
+                                             batch_frames, slot_window)
+            return
 
         if self.detector is None:
             # single-person whole-frame streaming: the _get_single pipeline
@@ -590,19 +674,7 @@ class SimpleHRNet:
             return
 
         pending = collections.deque()
-
-        def finish(entry):
-            valid, boxes, hm, pts = entry
-            n = int(np.asarray(valid).sum())
-            out_boxes = np.asarray(boxes)[:n].astype(np.int32)
-            out_pts = np.asarray(pts)[:n].astype(np.float32)
-            res = []
-            if self.return_heatmaps:
-                res.append(np.transpose(np.asarray(hm)[:n], (0, 3, 1, 2)))
-            if self.return_bounding_boxes:
-                res.append(out_boxes)
-            res.append(out_pts)
-            return res if len(res) > 1 else res[0]
+        finish = self._finish_fused
 
         if batch_frames <= 1:
             for frame in frames:
@@ -657,12 +729,104 @@ class SimpleHRNet:
         while pending:
             yield finish_row(pending.popleft())
 
+    def _stream_adaptive(self, frames, cap: int, prefetch: int,
+                         batch_frames: int, slot_window: int):
+        """predict_stream's adaptive-slot engine (see its docstring).
+
+        Both the per-frame and the chunked serving modes keep the same
+        dispatch-ahead pipelining as the fixed-slot paths; the only
+        synchronous extra work is re-running a SATURATED launch (all
+        slots valid below the cap) at a bigger rung, which hysteresis
+        makes rare. Escalation loops until the launch is unsaturated or
+        at the cap, so yielded results match the fixed-slot stream
+        exactly."""
+        import collections
+
+        if self.mesh is not None and batch_frames > 1 \
+                and batch_frames % self.mesh.size:
+            raise ValueError(
+                f'batch_frames={batch_frames} must divide the mesh '
+                f'({self.mesh.size} devices) so frames shard evenly')
+
+        ctl = _SlotController(cap, slot_window)
+        pending = collections.deque()
+
+        if batch_frames <= 1:
+            def resolve(entry):
+                out, slots, frame = entry
+                n = int(np.asarray(out[0]).sum())
+                while n >= slots and slots < cap:
+                    slots = ctl.escalate(slots)
+                    run = self._get_fused_frame(frame.shape[:2], slots)
+                    out = run(self.params, self.detector.params, frame)
+                    n = int(np.asarray(out[0]).sum())
+                ctl.observe(n)
+                return self._finish_fused(out)
+
+            for frame in frames:
+                f = np.ascontiguousarray(frame)
+                run = self._get_fused_frame(f.shape[:2], ctl.slots)
+                pending.append((run(self.params, self.detector.params, f),
+                                ctl.slots, f))
+                if len(pending) > prefetch:
+                    yield resolve(pending.popleft())
+            while pending:
+                yield resolve(pending.popleft())
+            return
+
+        # chunked serving: escalation decisions are per LAUNCH (the max
+        # count over the chunk's frames), resolved when the chunk's first
+        # frame is consumed; rows then yield per frame as usual
+        def dispatch(buf):
+            n_real = len(buf)
+            pad = buf + [buf[-1]] * (batch_frames - n_real)
+            stacked = np.stack(pad)
+            run = self._get_fused_frames(pad[0].shape[:2], ctl.slots,
+                                         batch_frames)
+            out = run(self.params, self.detector.params, stacked)
+            pending.append([out, ctl.slots, stacked, n_real])
+
+        def resolve_chunk(ch):
+            out, slots, stacked, n_real = ch
+            m = int(np.asarray(out[0]).sum(axis=1).max())
+            while m >= slots and slots < cap:
+                slots = ctl.escalate(slots)
+                run = self._get_fused_frames(stacked.shape[1:3], slots,
+                                             batch_frames)
+                out = run(self.params, self.detector.params, stacked)
+                m = int(np.asarray(out[0]).sum(axis=1).max())
+            ctl.observe(m)
+            valid, boxes, hm, pts = out
+            return [self._finish_fused((valid[i], boxes[i], hm[i], pts[i]))
+                    for i in range(n_real)]
+
+        buf, ready = [], collections.deque()
+        for frame in frames:
+            f = np.ascontiguousarray(frame)
+            if buf and f.shape != buf[0].shape:
+                dispatch(buf)
+                buf = []
+            buf.append(f)
+            if len(buf) == batch_frames:
+                dispatch(buf)
+                buf = []
+            while len(pending) > prefetch:
+                ready.extend(resolve_chunk(pending.popleft()))
+            while ready:
+                yield ready.popleft()
+        if buf:
+            dispatch(buf)
+        while pending:
+            ready.extend(resolve_chunk(pending.popleft()))
+        while ready:
+            yield ready.popleft()
+
     # ------------------------------------------------------------------
     # public API (reference SimpleHRNet.py:174-210 contract)
     # ------------------------------------------------------------------
 
     def warmup(self, frame_hw: Tuple[int, int], batch_sizes=(1,),
-               stream_max_people: Optional[int] = None) -> dict:
+               stream_max_people=None, stream_batch_frames=(1,)) -> dict:
         """Precompile the inference pipelines for a frame geometry.
 
         The serving analogue of building a fixed-shape TensorRT engine:
@@ -670,9 +834,12 @@ class SimpleHRNet:
         seconds) to execution time. Runs each listed frame-batch size
         through ``predict`` on a zero frame (compiling the whole-frame or
         detect->crop->pose->decode graph, detector included); with
-        ``stream_max_people`` also AOT-compiles the ``predict_stream``
-        fused per-frame graph without executing it. Combine with JAX's
-        persistent compilation cache to amortize across processes.
+        ``stream_max_people`` (an int, an iterable of ints, or
+        ``('adaptive', cap)`` to cover every rung the adaptive stream can
+        visit) also compiles the ``predict_stream`` fused graph(s), one
+        per entry of ``stream_batch_frames`` (pass the ``batch_frames``
+        values you will serve with). Combine with JAX's persistent
+        compilation cache to amortize across processes.
 
         Returns {'single': n, 'gather': n, 'fused': n} executable-cache
         sizes (follow-up people-bucket shapes beyond the optimistic first
@@ -683,13 +850,27 @@ class SimpleHRNet:
             dummy = np.zeros((b, h, w, 3), np.uint8)
             self.predict(dummy[0] if b == 1 else dummy)
         if stream_max_people is not None and self.detector is not None:
-            run = self._get_fused_frame((h, w), stream_max_people)
-            # execute once on a zero frame: lower().compile() would build an
-            # executable OUTSIDE jit's dispatch cache and the stream's later
-            # calls would compile again
-            out = run(self.params, self.detector.params,
-                      np.zeros((h, w, 3), np.uint8))
-            jax.block_until_ready(out)
+            if isinstance(stream_max_people, int):
+                slot_counts = [stream_max_people]
+            elif (len(stream_max_people) == 2
+                  and stream_max_people[0] == 'adaptive'):
+                slot_counts = _slot_ladder(int(stream_max_people[1]))
+            else:
+                slot_counts = [int(s) for s in stream_max_people]
+            for slots in slot_counts:
+                for nf in stream_batch_frames:
+                    # execute once on zero frames: lower().compile() would
+                    # build an executable OUTSIDE jit's dispatch cache and
+                    # the stream's later calls would compile again
+                    if nf <= 1:
+                        run = self._get_fused_frame((h, w), slots)
+                        out = run(self.params, self.detector.params,
+                                  np.zeros((h, w, 3), np.uint8))
+                    else:
+                        run = self._get_fused_frames((h, w), slots, nf)
+                        out = run(self.params, self.detector.params,
+                                  np.zeros((nf, h, w, 3), np.uint8))
+                    jax.block_until_ready(out)
         return {'single': len(self._single_jit),
                 'gather': len(self._crop_jit),
                 'fused': len(self._fused_jit)}

@@ -20,7 +20,7 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
          csv_output_filename='output.csv', csv_delimiter=',',
          json_output_filename='output.json', device=None,
          enable_tensorrt=False, max_frames=None, pipeline=False,
-         batch_frames=1):
+         batch_frames=1, adaptive_slots=False):
     import cv2
 
     from simple_hrnet_tpu import SimpleHRNet
@@ -70,7 +70,8 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
         from simple_hrnet_tpu.data.prefetch import prefetch_iter
         results = model.predict_stream(prefetch_iter(frames()),
                                        max_people=max_batch_size,
-                                       batch_frames=batch_frames)
+                                       batch_frames=batch_frames,
+                                       adaptive_slots=adaptive_slots)
     else:
         results = (model.predict(f) for f in frames())
 
@@ -129,6 +130,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='with --pipeline: frames per fused launch '
                              '(higher aggregate fps, batching latency; '
                              '8 is the measured sweet spot)')
+    parser.add_argument('--adaptive_slots', action='store_true',
+                        help='with --pipeline: size the people-slot count '
+                             'to the scene (max_batch_size becomes the '
+                             'cap) — sparse scenes skip most of the pose '
+                             'batch, crowded launches re-run one rung up')
     return parser
 
 

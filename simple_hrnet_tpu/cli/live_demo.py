@@ -21,7 +21,7 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
          disable_tracking=False, max_batch_size=16, disable_vidgear=False,
          save_video=False, video_format='MJPG', video_framerate=30,
          device=None, enable_tensorrt=False, max_frames=None,
-         pipeline=False):
+         pipeline=False, adaptive_slots=False):
     import cv2
 
     from simple_hrnet_tpu import SimpleHRNet
@@ -92,7 +92,8 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
         # tracking stays host-side, consuming results in frame order
         from simple_hrnet_tpu.data.prefetch import prefetch_iter
         results = model.predict_stream(prefetch_iter(frames_tee()),
-                                       max_people=max_batch_size)
+                                       max_people=max_batch_size,
+                                       adaptive_slots=adaptive_slots)
     else:
         results = (model.predict(f) for f in frames_tee())
 
@@ -186,6 +187,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--pipeline', action='store_true',
                         help='fused per-frame device pipeline + background '
                              'frame decode (multi-person)')
+    parser.add_argument('--adaptive_slots', action='store_true',
+                        help='with --pipeline: size the people-slot count '
+                             'to the scene (max_batch_size becomes the '
+                             'cap) — sparse scenes skip most of the pose '
+                             'batch, crowded launches re-run one rung up')
     return parser
 
 

@@ -118,13 +118,27 @@ _NATIVE = None
 
 
 def _native_nms():
-    """ctypes binding to native/libnms.so (C++ port of the Cython cpu_nms)."""
+    """ctypes binding to native/libnms.so (C++ port of the Cython cpu_nms).
+
+    Builds the library on first use when missing (make -C native
+    libnms.so — seconds with any g++; the reference required a manual
+    `cd misc; make` the same way, misc/Makefile:1-4). Falls back to the
+    identical pure-numpy path if no toolchain is available."""
     global _NATIVE
     if _NATIVE is None:
         import ctypes
         import os
-        so = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), 'native', 'libnms.so')
+        native_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), 'native')
+        so = os.path.join(native_dir, 'libnms.so')
+        if not os.path.exists(so) and os.path.exists(
+                os.path.join(native_dir, 'nms.cpp')):
+            import subprocess
+            try:
+                subprocess.run(['make', '-C', native_dir, 'libnms.so'],
+                               capture_output=True, timeout=120)
+            except Exception:
+                pass
         if os.path.exists(so):
             lib = ctypes.CDLL(so)
             lib.cpu_nms.restype = ctypes.c_int

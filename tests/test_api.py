@@ -441,3 +441,140 @@ def test_warmup_precompiles(w32_checkpoint, rng):
     model.predict(img)
     model.predict(np.stack([img] * 3))
     assert len(model._single_jit) == n_single, 'predict recompiled'
+
+
+class _VaryStub:
+    """Detector stub whose person count is a pure function of the frame's
+    mean pixel value (count = mean // 32, capped at 8) — lets adaptive-
+    slot tests steer detection counts per frame while staying traceable
+    inside the fused graph. Rows are fixed and score-ordered like the
+    real detector, so slot truncation keeps a prefix."""
+
+    params = {}
+
+    def pure_fn(self, in_hw):
+        import jax.numpy as jnp
+
+        def fn(params, frames):
+            base = jnp.asarray(
+                [[10.0 + 3 * i, 5.0 + 2 * i, 60.0 + 3 * i, 90.0]
+                 for i in range(8)], jnp.float32)
+            rows = jnp.zeros((frames.shape[0], 8, 7), jnp.float32)
+            rows = rows.at[:, :, :4].set(base)
+            rows = rows.at[:, :, 4:6].set(0.9)
+            n = jnp.clip((frames.mean(axis=(1, 2, 3)) / 32.0)
+                         .astype(jnp.int32), 0, 8)
+            valid = jnp.arange(8)[None, :] < n[:, None]
+            return rows, valid
+        return fn
+
+
+def _frames_with_counts(counts, shape=(100, 120, 3)):
+    # mean == fill value, so _VaryStub detects exactly count people
+    return [np.full(shape, 32 * c + 16, np.uint8) for c in counts]
+
+
+def test_predict_stream_adaptive_parity_and_ladder(w32_checkpoint):
+    """adaptive_slots=True yields results identical to the fixed-slot
+    stream, escalates saturated launches through the rung ladder, and
+    steps back down after a quiet window."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    counts = [1, 5, 1, 1, 1, 1, 1, 1]
+    frames = _frames_with_counts(counts)
+
+    # spy on every fused-graph request to observe the rung sequence
+    requested = []
+    orig = model._get_fused_frame
+
+    def spy(in_hw, max_people):
+        requested.append(max_people)
+        return orig(in_hw, max_people)
+
+    model._get_fused_frame = spy
+
+    fixed = list(model.predict_stream(frames, max_people=8, prefetch=2))
+    requested.clear()
+    adaptive = list(model.predict_stream(frames, max_people=8, prefetch=0,
+                                         adaptive_slots=True, slot_window=2))
+
+    assert len(adaptive) == len(fixed) == len(frames)
+    for (b_f, p_f), (b_a, p_a), c in zip(fixed, adaptive, counts):
+        assert p_a.shape[0] == c
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_f))
+
+    # deterministic at prefetch=0: frame 0 runs at rung 2; frame 1
+    # (5 people) saturates 2 then 4 and lands at 8; the quiet window of
+    # size 2 then walks 8 -> 4 -> 2
+    assert requested == [2, 2, 4, 8, 8, 8, 4, 4, 2, 2]
+
+
+def test_predict_stream_adaptive_batched(w32_checkpoint):
+    """Chunked adaptive serving (batch_frames>1): per-chunk escalation,
+    trailing partial chunk, parity with the fixed-slot batched stream."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    counts = [1, 1, 3, 1, 2]  # chunk 2 saturates rung 2 -> 4; 5 = 2+2+1
+    frames = _frames_with_counts(counts)
+
+    fixed = list(model.predict_stream(frames, max_people=4, prefetch=1,
+                                      batch_frames=2))
+    adaptive = list(model.predict_stream(frames, max_people=4, prefetch=0,
+                                         batch_frames=2,
+                                         adaptive_slots=True, slot_window=4))
+    assert len(adaptive) == len(fixed) == 5
+    for (b_f, p_f), (b_a, p_a), c in zip(fixed, adaptive, counts):
+        assert p_a.shape[0] == c
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_f))
+    # both rungs were compiled: the quiet rung 2 and the escalated rung 4
+    slots_used = {k[1] for k in model._fused_jit if len(k) == 3}
+    assert {2, 4} <= slots_used
+
+
+def test_warmup_adaptive_ladder(w32_checkpoint):
+    """warmup(stream_max_people=('adaptive', cap)) precompiles every rung
+    the adaptive stream can visit."""
+    from simple_hrnet_tpu import SimpleHRNet
+    from simple_hrnet_tpu.api import _slot_ladder
+
+    assert _slot_ladder(16) == [2, 4, 8, 16]
+    assert _slot_ladder(3) == [2, 3]
+    assert _slot_ladder(2) == [2]
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+    model.warmup((100, 120), batch_sizes=(),
+                 stream_max_people=('adaptive', 8),
+                 stream_batch_frames=(1, 2))
+    slots_used = {k[1] for k in model._fused_jit if len(k) == 3}
+    assert {2, 4, 8} <= slots_used
+    # batched-serving graphs precompiled too
+    assert ((100, 120), 2, 2) in model._fused_jit
+    assert ((100, 120), 8, 2) in model._fused_jit
+    # and the stream reuses them: no new fused graphs for a quiet stream
+    n = len(model._fused_jit)
+    out = list(model.predict_stream(_frames_with_counts([1, 1]),
+                                    max_people=8, adaptive_slots=True))
+    assert len(out) == 2
+    assert len(model._fused_jit) == n
