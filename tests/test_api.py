@@ -578,3 +578,35 @@ def test_warmup_adaptive_ladder(w32_checkpoint):
                                     max_people=8, adaptive_slots=True))
     assert len(out) == 2
     assert len(model._fused_jit) == n
+
+
+def test_predict_stream_adaptive_mixed_shapes(w32_checkpoint):
+    """Adaptive streaming across a mid-stream resolution change: per-shape
+    graphs per rung, chunk flush in the batched mode, parity with the
+    fixed-slot stream on the same frames."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    frames = (_frames_with_counts([1, 3], shape=(100, 120, 3))
+              + _frames_with_counts([1, 1], shape=(80, 100, 3)))
+
+    fixed = list(model.predict_stream(frames, max_people=4, prefetch=2))
+    adaptive = list(model.predict_stream(frames, max_people=4, prefetch=0,
+                                         adaptive_slots=True, slot_window=4))
+    batched = list(model.predict_stream(frames, max_people=4, prefetch=0,
+                                        batch_frames=2, adaptive_slots=True,
+                                        slot_window=4))
+    assert len(adaptive) == len(batched) == len(fixed) == 4
+    for (b_f, p_f), (b_a, p_a), (b_b, p_b) in zip(fixed, adaptive, batched):
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_f))
+        np.testing.assert_array_equal(np.asarray(b_b), np.asarray(b_f))
