@@ -47,6 +47,18 @@ def main():
     print(f'rung | b1 ms/frame | b1 fps | b{BATCH_FRAMES} ms/frame | '
           f'b{BATCH_FRAMES} aggregate fps')
     for slots in _slot_ladder(CAP):
+        if slots == 0:
+            # the detect-only idle rung (no pose batch at all)
+            run0 = model._get_detect_counts(FRAME_HW, 1)
+            run0b = model._get_detect_counts(FRAME_HW, BATCH_FRAMES)
+            t1 = device_timer(lambda f, dp: run0(dp, f[None]), frame,
+                              model.detector.params, **T)
+            tb = device_timer(lambda f, dp: run0b(dp, f), frames,
+                              model.detector.params, **T)
+            print(f'{slots:4d} | {t1 * 1e3:11.2f} | {1 / t1:6.1f} | '
+                  f'{tb * 1e3 / BATCH_FRAMES:11.2f} | '
+                  f'{BATCH_FRAMES / tb:6.1f}', flush=True)
+            continue
         run1 = model._get_fused_frame(FRAME_HW, slots)
         t1 = device_timer(lambda f, pp, dp: run1(pp, dp, f), frame,
                           model.params, model.detector.params, **T)

@@ -44,11 +44,14 @@ def _buckets(n: int, max_batch: int, multiple: int = 1) -> int:
 
 
 def _slot_ladder(cap: int):
-    """Power-of-two people-slot rungs up to ``cap`` (always included):
-    cap=16 -> [2, 4, 8, 16]. The adaptive stream walks this ladder so the
-    pose batch — 84%+ of the fused graph at serving batch sizes, PERF.md
-    — tracks the scene's actual person count instead of the worst case."""
-    ladder = []
+    """Empty rung + power-of-two people-slot rungs up to ``cap`` (always
+    included): cap=16 -> [0, 2, 4, 8, 16]. The adaptive stream walks this
+    ladder so the pose batch — 84%+ of the fused graph at serving batch
+    sizes, PERF.md — tracks the scene's actual person count instead of
+    the worst case. Rung 0 is the idle-camera tier: a detect-only graph
+    (no pose batch at all, ~3x cheaper than rung 2) that escalates on the
+    first detection."""
+    ladder = [0]
     s = 2
     while s < cap:
         ladder.append(s)
@@ -69,7 +72,11 @@ class _SlotController:
     def __init__(self, cap: int, window: int):
         import collections
         self.ladder = _slot_ladder(cap)
-        self.idx = 0
+        # start at the smallest POSE rung, not the empty rung: most streams
+        # open on a populated scene, and a rung-0 first frame with people
+        # would always pay a double launch. Rung 0 is reached by descent
+        # after a full window of empty frames.
+        self.idx = min(1, len(self.ladder) - 1)
         self.cap = cap
         self.counts = collections.deque(maxlen=max(1, window))
 
@@ -88,8 +95,11 @@ class _SlotController:
 
     def observe(self, n: int) -> None:
         self.counts.append(n)
+        # descend when the window fits strictly below the next rung down;
+        # the rung-0 threshold is 1 (descend only after an ALL-EMPTY
+        # window — any detection at rung 0 forces an escalation re-run)
         if (self.idx > 0 and len(self.counts) == self.counts.maxlen
-                and max(self.counts) < self.ladder[self.idx - 1]):
+                and max(self.counts) < max(1, self.ladder[self.idx - 1])):
             self.idx -= 1
             self.counts.clear()
 
@@ -594,6 +604,50 @@ class SimpleHRNet:
         self._fused_jit[key] = run
         return run
 
+    def _get_detect_counts(self, in_hw: Tuple[int, int], n_frames: int):
+        """Rung 0 of the adaptive slot ladder: a detect-ONLY jit that
+        returns the per-frame valid-detection count (F,) int32 — no crop
+        slots, no pose batch. The pose batch is 84%+ of the fused graph
+        (PERF.md), so an idle camera served at this rung costs only the
+        detector (~3x cheaper than the smallest pose rung); any non-zero
+        count escalates and re-runs the full fused graph, keeping results
+        identical to the fixed-slot stream. Cached under slot key 0."""
+        key = (in_hw, 0, n_frames)
+        if key in self._fused_jit:
+            return self._fused_jit[key]
+
+        det_fn = self.detector.pure_fn(in_hw)
+
+        @jax.jit
+        def run(det_params, frames_bgr):  # (F, H, W, 3) BGR
+            rgb = frames_bgr[..., ::-1]
+            _, valid = det_fn(det_params, rgb.astype(jnp.float32))
+            return valid.sum(axis=1).astype(jnp.int32)
+
+        if self.mesh is not None and n_frames % self.mesh.size == 0:
+            from simple_hrnet_tpu.parallel import (data_sharding,
+                                                   replicated_sharding)
+            run = jax.jit(run.__wrapped__,
+                          in_shardings=(replicated_sharding(self.mesh),
+                                        data_sharding(self.mesh)),
+                          out_shardings=data_sharding(self.mesh))
+        self._fused_jit[key] = run
+        return run
+
+    def _finish_empty(self):
+        """The per-frame predict() return structure for a frame with zero
+        people — what ``_finish_fused`` produces when no slot is valid,
+        built host-side so rung-0 (detect-only) launches need no pose
+        outputs. Both model families emit input/4 heatmaps in f32."""
+        res = []
+        if self.return_heatmaps:
+            res.append(np.zeros((0, self.nof_joints, self.resolution[0] // 4,
+                                 self.resolution[1] // 4), np.float32))
+        if self.return_bounding_boxes:
+            res.append(np.zeros((0, 4), np.int32))
+        res.append(np.zeros((0, self.nof_joints, 3), np.float32))
+        return res if len(res) > 1 else res[0]
+
     def _finish_fused(self, entry):
         """Convert one frame's fused-graph outputs (device arrays) to the
         reference's per-frame predict() return structure."""
@@ -636,9 +690,13 @@ class SimpleHRNet:
         up, and the rung steps back down after ``slot_window`` launches
         fit strictly below it. The pose batch is 84%+ of the fused graph
         (PERF.md), so sparse scenes run ~slots/cap of the worst-case
-        work; results are identical to the fixed-slot stream (detector
-        rows are score-ordered, so non-saturated truncation is exact).
-        Each rung compiles its own graph on first use (see ``warmup``).
+        work; after a full window of EMPTY frames the stream drops to
+        rung 0 — a detect-only graph with no pose batch at all (~3x
+        cheaper again, the idle-camera tier) that escalates directly to
+        a fitting rung on the first detection. Results are identical to
+        the fixed-slot stream (detector rows are score-ordered, so
+        non-saturated truncation is exact). Each rung compiles its own
+        graph on first use (see ``warmup``).
         """
         import collections
 
@@ -754,6 +812,18 @@ class SimpleHRNet:
         if batch_frames <= 1:
             def resolve(entry):
                 out, slots, frame = entry
+                if slots == 0:
+                    # detect-only rung: escalate straight to the first
+                    # rung that fits the TRUE count (the counts graph sees
+                    # every detector row, not a slot truncation), so one
+                    # re-run lands where the saturation cascade would
+                    n = int(np.asarray(out)[0])
+                    if n == 0:
+                        ctl.observe(0)
+                        return self._finish_empty()
+                    slots = ctl.escalate(min(n, cap - 1))
+                    run = self._get_fused_frame(frame.shape[:2], slots)
+                    out = run(self.params, self.detector.params, frame)
                 n = int(np.asarray(out[0]).sum())
                 while n >= slots and slots < cap:
                     slots = ctl.escalate(slots)
@@ -765,9 +835,13 @@ class SimpleHRNet:
 
             for frame in frames:
                 f = np.ascontiguousarray(frame)
-                run = self._get_fused_frame(f.shape[:2], ctl.slots)
-                pending.append((run(self.params, self.detector.params, f),
-                                ctl.slots, f))
+                if ctl.slots == 0:
+                    out = self._get_detect_counts(f.shape[:2], 1)(
+                        self.detector.params, f[None])
+                else:
+                    out = self._get_fused_frame(f.shape[:2], ctl.slots)(
+                        self.params, self.detector.params, f)
+                pending.append((out, ctl.slots, f))
                 if len(pending) > prefetch:
                     yield resolve(pending.popleft())
             while pending:
@@ -781,13 +855,27 @@ class SimpleHRNet:
             n_real = len(buf)
             pad = buf + [buf[-1]] * (batch_frames - n_real)
             stacked = np.stack(pad)
-            run = self._get_fused_frames(pad[0].shape[:2], ctl.slots,
-                                         batch_frames)
-            out = run(self.params, self.detector.params, stacked)
+            if ctl.slots == 0:
+                out = self._get_detect_counts(pad[0].shape[:2],
+                                              batch_frames)(
+                    self.detector.params, stacked)
+            else:
+                out = self._get_fused_frames(pad[0].shape[:2], ctl.slots,
+                                             batch_frames)(
+                    self.params, self.detector.params, stacked)
             pending.append([out, ctl.slots, stacked, n_real])
 
         def resolve_chunk(ch):
             out, slots, stacked, n_real = ch
+            if slots == 0:
+                m = int(np.asarray(out).max())
+                if m == 0:
+                    ctl.observe(0)
+                    return [self._finish_empty() for _ in range(n_real)]
+                slots = ctl.escalate(min(m, cap - 1))
+                out = self._get_fused_frames(stacked.shape[1:3], slots,
+                                             batch_frames)(
+                    self.params, self.detector.params, stacked)
             m = int(np.asarray(out[0]).sum(axis=1).max())
             while m >= slots and slots < cap:
                 slots = ctl.escalate(slots)
@@ -862,7 +950,12 @@ class SimpleHRNet:
                     # execute once on zero frames: lower().compile() would
                     # build an executable OUTSIDE jit's dispatch cache and
                     # the stream's later calls would compile again
-                    if nf <= 1:
+                    if slots == 0:
+                        # the adaptive ladder's detect-only idle rung
+                        run = self._get_detect_counts((h, w), max(nf, 1))
+                        out = run(self.detector.params,
+                                  np.zeros((max(nf, 1), h, w, 3), np.uint8))
+                    elif nf <= 1:
                         run = self._get_fused_frame((h, w), slots)
                         out = run(self.params, self.detector.params,
                                   np.zeros((h, w, 3), np.uint8))

@@ -555,9 +555,9 @@ def test_warmup_adaptive_ladder(w32_checkpoint):
     from simple_hrnet_tpu import SimpleHRNet
     from simple_hrnet_tpu.api import _slot_ladder
 
-    assert _slot_ladder(16) == [2, 4, 8, 16]
-    assert _slot_ladder(3) == [2, 3]
-    assert _slot_ladder(2) == [2]
+    assert _slot_ladder(16) == [0, 2, 4, 8, 16]
+    assert _slot_ladder(3) == [0, 2, 3]
+    assert _slot_ladder(2) == [0, 2]
 
     path, _ = w32_checkpoint
     model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
@@ -568,7 +568,10 @@ def test_warmup_adaptive_ladder(w32_checkpoint):
                  stream_max_people=('adaptive', 8),
                  stream_batch_frames=(1, 2))
     slots_used = {k[1] for k in model._fused_jit if len(k) == 3}
-    assert {2, 4, 8} <= slots_used
+    assert {0, 2, 4, 8} <= slots_used
+    # the detect-only idle rung compiled for both serving batch sizes
+    assert ((100, 120), 0, 1) in model._fused_jit
+    assert ((100, 120), 0, 2) in model._fused_jit
     # batched-serving graphs precompiled too
     assert ((100, 120), 2, 2) in model._fused_jit
     assert ((100, 120), 8, 2) in model._fused_jit
@@ -578,6 +581,88 @@ def test_warmup_adaptive_ladder(w32_checkpoint):
                                     max_people=8, adaptive_slots=True))
     assert len(out) == 2
     assert len(model._fused_jit) == n
+
+
+def test_predict_stream_adaptive_empty_rung(w32_checkpoint):
+    """An all-empty window drops the adaptive stream to rung 0 (the
+    detect-only graph, no pose batch); the first detection escalates
+    straight to a fitting pose rung; results — including the empty
+    frames' array shapes/dtypes — match the fixed-slot stream exactly."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_heatmaps=True, return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    counts = [1, 0, 0, 0, 0, 0, 2, 0]
+    frames = _frames_with_counts(counts)
+
+    requested = []
+    orig = model._get_fused_frame
+
+    def spy(in_hw, max_people):
+        requested.append(max_people)
+        return orig(in_hw, max_people)
+
+    model._get_fused_frame = spy
+
+    fixed = list(model.predict_stream(frames, max_people=8, prefetch=2))
+    requested.clear()
+    adaptive = list(model.predict_stream(frames, max_people=8, prefetch=0,
+                                         adaptive_slots=True, slot_window=2))
+
+    assert len(adaptive) == len(fixed) == len(frames)
+    for (h_f, b_f, p_f), (h_a, b_a, p_a), c in zip(fixed, adaptive, counts):
+        assert p_a.shape[0] == c
+        assert h_a.shape == h_f.shape and h_a.dtype == h_f.dtype
+        assert b_a.dtype == b_f.dtype and p_a.dtype == p_f.dtype
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_f))
+        np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_f),
+                                   atol=1e-4)
+
+    # frames 0-2 run at rung 2 (window [0,0] then drops to rung 0);
+    # frames 3-5 are detect-only (NO fused-graph request); frame 6's
+    # 2 detections escalate 0 -> 4 directly (rung 2 would saturate);
+    # frame 7 stays at rung 4
+    assert requested == [2, 2, 2, 4, 4]
+    assert ((100, 120), 0, 1) in model._fused_jit
+
+
+def test_predict_stream_adaptive_empty_rung_batched(w32_checkpoint):
+    """Chunked serving reaches rung 0 too: all-empty chunks run the
+    detect-only graph; a chunk with a detection re-runs fused at a
+    fitting rung; per-frame yields match the fixed-slot batched stream."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    counts = [0, 0, 0, 0, 1, 0]  # chunks: quiet, quiet -> rung 0, person
+    frames = _frames_with_counts(counts)
+
+    fixed = list(model.predict_stream(frames, max_people=4, prefetch=1,
+                                      batch_frames=2))
+    adaptive = list(model.predict_stream(frames, max_people=4, prefetch=0,
+                                         batch_frames=2,
+                                         adaptive_slots=True, slot_window=2))
+    assert len(adaptive) == len(fixed) == len(frames)
+    for (b_f, p_f), (b_a, p_a), c in zip(fixed, adaptive, counts):
+        assert p_a.shape[0] == c
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_f))
+    # the batched detect-only graph compiled and the escalation target too
+    assert ((100, 120), 0, 2) in model._fused_jit
+    assert ((100, 120), 2, 2) in model._fused_jit
 
 
 def test_predict_stream_adaptive_mixed_shapes(w32_checkpoint):
