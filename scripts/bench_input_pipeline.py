@@ -112,25 +112,33 @@ def main():
     with tempfile.TemporaryDirectory() as root:
         make_dataset(root, args.images, args.people, hw, rng)
         results = {}
+        # device_targets=True is the TPU-side-tail mode: the host stops at
+        # the warp (no normalize, no gaussian stamping, no 470 KB/sample
+        # target collate) — train/steps.py runs those in-graph
         for native in (False, True):
-            try:
-                ds = COCODataset(root_path=root, data_version='train2017',
-                                 is_train=True, use_native_decode=native)
-            except Exception as e:
-                print(f'native={native}: unavailable ({e})')
-                continue
-            tag = 'native' if native else 'cv2'
-            r1 = rate_getitem(ds, args.seconds, rng)
-            results[f'getitem_{tag}'] = r1
-            print(f'{tag:7s} __getitem__ 1-thread: {r1:7.1f} samples/s',
-                  flush=True)
-            for workers in (1, 2, 4):
-                r = rate_loader(ds, args.batch, workers, args.seconds)
-                results[f'loader_{tag}_w{workers}'] = r
-                print(f'{tag:7s} loader b{args.batch} x{workers} workers: '
-                      f'{r:7.1f} samples/s '
-                      f'({r / args.step_rate:4.2f}x the {args.step_rate:.0f} '
-                      f'img/s W48 step)', flush=True)
+            for devt in (False, True):
+                try:
+                    ds = COCODataset(root_path=root,
+                                     data_version='train2017',
+                                     is_train=True, use_native_decode=native,
+                                     device_targets=devt)
+                except Exception as e:
+                    print(f'native={native}: unavailable ({e})')
+                    continue
+                tag = ('native' if native else 'cv2') + \
+                    ('+devt' if devt else '')
+                r1 = rate_getitem(ds, args.seconds, rng)
+                results[f'getitem_{tag}'] = r1
+                print(f'{tag:12s} __getitem__ 1-thread: {r1:7.1f} samples/s',
+                      flush=True)
+                for workers in (1, 2, 4):
+                    r = rate_loader(ds, args.batch, workers, args.seconds)
+                    results[f'loader_{tag}_w{workers}'] = r
+                    print(f'{tag:12s} loader b{args.batch} x{workers} '
+                          f'workers: {r:7.1f} samples/s '
+                          f'({r / args.step_rate:4.2f}x the '
+                          f'{args.step_rate:.0f} img/s W48 step)',
+                          flush=True)
         best = max(results.values()) if results else 0.0
         verdict = 'feeds' if best >= args.step_rate else 'STALLS'
         print(f'\nbest loader rate {best:.1f} img/s vs step '

@@ -41,7 +41,8 @@ def main(exp_name,
          n_devices=None,
          dtype=None,
          use_native_decode=False,
-         use_grouped_trunk=False):
+         use_grouped_trunk=False,
+         device_targets=False):
     import jax
 
     from simple_hrnet_tpu.data.coco import COCODataset
@@ -68,12 +69,14 @@ def main(exp_name,
         root_path=coco_root_path, data_version='train2017', is_train=True,
         use_gt_bboxes=(coco_bbox_path is None), bbox_path=coco_bbox_path,
         image_width=image_resolution[1], image_height=image_resolution[0],
-        color_rgb=True, use_native_decode=use_native_decode)
+        color_rgb=True, use_native_decode=use_native_decode,
+        device_targets=device_targets)
     ds_val = COCODataset(
         root_path=coco_root_path, data_version='val2017', is_train=False,
         use_gt_bboxes=(coco_bbox_path is None), bbox_path=coco_bbox_path,
         image_width=image_resolution[1], image_height=image_resolution[0],
-        color_rgb=True, use_native_decode=use_native_decode)
+        color_rgb=True, use_native_decode=use_native_decode,
+        device_targets=device_targets)
 
     train = COCOTrain(
         exp_name=exp_name, ds_train=ds_train, ds_val=ds_val, epochs=epochs,
@@ -87,7 +90,8 @@ def main(exp_name,
         model_nof_joints=model_nof_joints,
         model_bn_momentum=model_bn_momentum,
         flip_test_images=not disable_flip_test_images, mesh=mesh, seed=seed,
-        dtype=dtype, use_grouped_trunk=use_grouped_trunk)
+        dtype=dtype, use_grouped_trunk=use_grouped_trunk,
+        device_targets=device_targets)
     train.run()
 
 
@@ -133,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
                              '(f32 master params, bf16 conv compute)')
     parser.add_argument('--use_native_decode', action='store_true',
                         help='fused C JPEG->warp->normalize data loading')
+    parser.add_argument('--device_targets', action='store_true',
+                        help='run ImageNet normalize + gaussian target '
+                             'generation in-graph on the TPU; the host '
+                             'pipeline stops at the warp (less host work '
+                             'and host->device bytes per sample)')
     return parser
 
 

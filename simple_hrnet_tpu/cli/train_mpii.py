@@ -40,7 +40,8 @@ def main(exp_name,
          seed=1,
          device=None,
          n_devices=None,
-         dtype=None):
+         dtype=None,
+         device_targets=False):
     import jax
 
     from simple_hrnet_tpu.data.mpii import MPIIDataset
@@ -65,10 +66,12 @@ def main(exp_name,
     print('\nLoading train and validation datasets...')
     ds_train = MPIIDataset(
         root_path=mpii_root_path, data_version='train', is_train=True,
-        image_width=image_resolution[1], image_height=image_resolution[0])
+        image_width=image_resolution[1], image_height=image_resolution[0],
+        device_targets=device_targets)
     ds_val = MPIIDataset(
         root_path=mpii_root_path, data_version='valid', is_train=False,
-        image_width=image_resolution[1], image_height=image_resolution[0])
+        image_width=image_resolution[1], image_height=image_resolution[0],
+        device_targets=device_targets)
 
     train = MPIITrain(
         exp_name=exp_name, ds_train=ds_train, ds_val=ds_val, epochs=epochs,
@@ -82,7 +85,7 @@ def main(exp_name,
         model_nof_joints=model_nof_joints,
         model_bn_momentum=model_bn_momentum,
         flip_test_images=not disable_flip_test_images, mesh=mesh, seed=seed,
-        dtype=dtype)
+        dtype=dtype, device_targets=device_targets)
     train.run()
 
 
@@ -117,6 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--seed', '-s', type=int, default=1)
     parser.add_argument('--device', '-d', type=str, default=None)
     parser.add_argument('--n_devices', type=int, default=None)
+    parser.add_argument('--device_targets', action='store_true',
+                        help='normalize + gaussian targets in-graph on the '
+                             'TPU (host pipeline stops at the warp)')
     parser.add_argument('--dtype', type=str, default=None,
                         choices=[None, 'bfloat16', 'float32'],
                         help='bfloat16 = mixed-precision step '

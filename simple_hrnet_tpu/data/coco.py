@@ -33,6 +33,11 @@ from simple_hrnet_tpu.ops import nms as nms_ops
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+# device_targets mode: the host emits the raw [0, 1] warp (normalize runs
+# in-graph); mean 0 / std 1 makes the fused native kernel produce exactly
+# the acc*inv255 intermediate the normalized path would have computed.
+_RAW_MEAN = np.zeros(3, np.float32)
+_RAW_STD = np.ones(3, np.float32)
 
 
 def fliplr_joints(joints, joints_vis, width, matched_parts):
@@ -67,7 +72,8 @@ class COCODataset(HumanPoseEstimationDataset):
                  use_different_joints_weight: bool = False,
                  heatmap_sigma: float = 3,
                  soft_nms: bool = False,
-                 use_native_decode: bool = False):
+                 use_native_decode: bool = False,
+                 device_targets: bool = False):
         self.root_path = root_path
         self.data_version = data_version
         self.is_train = is_train
@@ -93,6 +99,12 @@ class COCODataset(HumanPoseEstimationDataset):
                     'use_native_decode=True but native/libimgproc.so is not '
                     'built (cd native && make)')
         self.use_native_decode = use_native_decode
+        # device_targets: __getitem__ stops at the warp — it returns the
+        # image in [0, 1] plus the transformed joints, and the jitted train
+        # step runs ImageNet normalize + gaussian target generation in-graph
+        # (train/steps.py:_batch_inputs). Cuts host work and host->device
+        # bytes; numerics are bit-identical per decode path.
+        self.device_targets = device_targets
 
         self.data_path = os.path.join(root_path, data_version)
         self.annotation_path = os.path.join(
@@ -258,9 +270,11 @@ class COCODataset(HumanPoseEstimationDataset):
                     np.asarray([-m_inv[0, 0], -m_inv[0, 1],
                                 fused_hw[0] - 1 - m_inv[0, 2]], np.float32),
                     m_inv[1].astype(np.float32)])
+            mean, std = (_RAW_MEAN, _RAW_STD) if self.device_targets \
+                else (IMAGENET_MEAN, IMAGENET_STD)
             image = native_img.decode_warp_normalize(
                 jpeg_bytes, m_inv, int(self.image_size[1]),
-                int(self.image_size[0]), IMAGENET_MEAN, IMAGENET_STD)
+                int(self.image_size[0]), mean, std)
             if image is None:
                 raise ValueError('Fail to read %s' % joints_data['imgPath'])
         else:
@@ -268,17 +282,17 @@ class COCODataset(HumanPoseEstimationDataset):
                 image, trans,
                 (int(self.image_size[0]), int(self.image_size[1])),
                 flags=cv2.INTER_LINEAR)
-            image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                     / IMAGENET_STD)
+            if self.device_targets:
+                # the in-graph normalize subtracts mean/std from THIS
+                # intermediate — bit-identical to the one-shot host chain
+                image = image.astype(np.float32) / 255.0
+            else:
+                image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                         / IMAGENET_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:
                 joints[i, 0:2] = affine.apply_affine(joints[i, 0:2], trans)
-
-        target, target_weight = target_gen.generate_target(
-            joints, joints_vis, self.heatmap_size, self.image_size,
-            self.heatmap_sigma,
-            self.joints_weight if self.use_different_joints_weight else None)
 
         joints_data['joints'] = joints
         joints_data['joints_visibility'] = joints_vis
@@ -286,6 +300,16 @@ class COCODataset(HumanPoseEstimationDataset):
         joints_data['scale'] = s
         joints_data['rotation'] = r
         joints_data['score'] = score
+
+        if self.device_targets:
+            # raw pipeline tail: targets are stamped in-graph by the step
+            return (image, joints.astype(np.float32),
+                    joints_vis.astype(np.float32), joints_data)
+
+        target, target_weight = target_gen.generate_target(
+            joints, joints_vis, self.heatmap_size, self.image_size,
+            self.heatmap_sigma,
+            self.joints_weight if self.use_different_joints_weight else None)
 
         # NHWC: target (J, h, w) -> (h, w, J)
         return (image, np.transpose(target, (1, 2, 0)).astype(np.float32),

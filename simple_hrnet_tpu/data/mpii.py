@@ -65,7 +65,8 @@ class MPIIDataset(HumanPoseEstimationDataset):
                  rotation_factor: float = 30.,
                  half_body_prob: float = 0.0,
                  use_different_joints_weight: bool = False,
-                 heatmap_sigma: float = 3):
+                 heatmap_sigma: float = 3,
+                 device_targets: bool = False):
         self.root_path = root_path
         self.data_version = data_version
         self.is_train = is_train
@@ -80,6 +81,8 @@ class MPIIDataset(HumanPoseEstimationDataset):
         self.half_body_prob = half_body_prob
         self.use_different_joints_weight = use_different_joints_weight
         self.heatmap_sigma = heatmap_sigma
+        # see data/coco.py: normalize + targets move into the train step
+        self.device_targets = device_targets
 
         self.image_size = (image_width, image_height)
         self.aspect_ratio = image_width / image_height
@@ -173,17 +176,15 @@ class MPIIDataset(HumanPoseEstimationDataset):
             image, trans,
             (int(self.image_size[0]), int(self.image_size[1])),
             flags=cv2.INTER_LINEAR)
-        image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                 / IMAGENET_STD)
+        if self.device_targets:
+            image = image.astype(np.float32) / 255.0
+        else:
+            image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                     / IMAGENET_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:
                 joints[i, 0:2] = affine.apply_affine(joints[i, 0:2], trans)
-
-        target, target_weight = target_gen.generate_target(
-            joints, joints_vis, self.heatmap_size, self.image_size,
-            self.heatmap_sigma,
-            self.joints_weight if self.use_different_joints_weight else None)
 
         joints_data['joints'] = joints
         joints_data['joints_visibility'] = joints_vis
@@ -191,6 +192,17 @@ class MPIIDataset(HumanPoseEstimationDataset):
         joints_data['scale'] = s
         joints_data['rotation'] = r
         joints_data['score'] = 1
+
+        if self.device_targets:
+            # raw pipeline tail: targets are stamped in-graph by the step
+            return (image, joints.astype(np.float32),
+                    joints_vis.astype(np.float32), joints_data)
+
+        target, target_weight = target_gen.generate_target(
+            joints, joints_vis, self.heatmap_size, self.image_size,
+            self.heatmap_sigma,
+            self.joints_weight if self.use_different_joints_weight else None)
+
         return (image, np.transpose(target, (1, 2, 0)).astype(np.float32),
                 target_weight.astype(np.float32), joints_data)
 

@@ -30,9 +30,42 @@ def _dtype_kw(dtype) -> dict:
     return {} if dtype is None else {'dtype': dtype}
 
 
+def _batch_inputs(batch, device_targets):
+    """Resolve (image, target, target_weight) from a batch dict.
+
+    ``device_targets=None``: the host pipeline already normalized the image
+    and stamped gaussian targets (batch keys image/target/target_weight).
+
+    Otherwise ``device_targets`` is a config dict (heatmap_size, image_size,
+    heatmap_sigma, joints_weight) and the batch carries the RAW pipeline
+    tail — image in [0, 1] straight off the host warp, plus per-sample
+    transformed ``joints``/``joints_vis`` — and this function runs the
+    ImageNet normalize and the gaussian target generation IN-GRAPH
+    (data/target.py:generate_target_device). The host thereby sheds the
+    per-sample normalize, the 470 KB/sample target stamp+collate, and the
+    target host->device transfer; on-device both fuse into the step (the
+    normalize into conv1's producer chain, the targets into the loss)."""
+    if device_targets is None:
+        return batch['image'], batch['target'], batch['target_weight']
+    from simple_hrnet_tpu.data import target as target_gen
+    from simple_hrnet_tpu.data.coco import IMAGENET_MEAN, IMAGENET_STD
+    image = ((batch['image'] - jnp.asarray(IMAGENET_MEAN))
+             / jnp.asarray(IMAGENET_STD))
+    target, weight = target_gen.generate_target_device(
+        batch['joints'], batch['joints_vis'],
+        tuple(device_targets['heatmap_size']),
+        tuple(device_targets['image_size']),
+        device_targets.get('heatmap_sigma', 3))
+    jw = device_targets.get('joints_weight')
+    if jw is not None:
+        weight = weight * jnp.asarray(jw, jnp.float32)
+    return image, target, weight
+
+
 def make_train_step(apply_fn: Callable, loss_fn: Callable,
                     optimizer: optax.GradientTransformation,
-                    mesh=None, donate: bool = True, dtype=None) -> Callable:
+                    mesh=None, donate: bool = True, dtype=None,
+                    device_targets=None) -> Callable:
     """Build the jitted train step.
 
     apply_fn(params, x, train=True, stats=dict) -> heatmaps (NHWC).
@@ -40,16 +73,22 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
     ``dtype='bfloat16'``/jnp.bfloat16 runs conv compute in bf16 with f32
     master params, f32 BN statistics and an f32 loss/head (mixed precision;
     the reference trains f32-only). Returns (params, opt_state, loss, out).
+
+    With ``device_targets`` (a config dict, see ``_batch_inputs``) the batch
+    instead carries {image-in-[0,1], joints, joints_vis} and normalization +
+    gaussian target generation run in-graph; the step then ALSO returns the
+    generated target: (params, opt_state, loss, out, target).
     """
     fwd_kw = _dtype_kw(dtype)
 
     def step(params, opt_state, batch):
+        image, target, target_weight = _batch_inputs(batch, device_targets)
+
         def loss_of(p):
             stats: Dict[str, tuple] = {}
-            out = apply_fn(p, batch['image'], train=True, stats=stats,
-                           **fwd_kw)
+            out = apply_fn(p, image, train=True, stats=stats, **fwd_kw)
             out = out.astype(jnp.float32)
-            loss = loss_fn(out, batch['target'], batch['target_weight'])
+            loss = loss_fn(out, target, target_weight)
             return loss, (out, stats)
 
         (loss, (out, stats)), grads = jax.value_and_grad(
@@ -58,44 +97,58 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
         params = optax.apply_updates(params, updates)
         # running BN stats (torch momentum semantics, layers.py)
         params = L.update_running_stats(params, stats)
+        if device_targets is not None:
+            return params, opt_state, loss, out, target
         return params, opt_state, loss, out
 
     if mesh is not None:
         from simple_hrnet_tpu.parallel import data_sharding, replicated_sharding
         repl = replicated_sharding(mesh)
         data = data_sharding(mesh)
+        out_sh = (repl, repl, repl, data)
+        if device_targets is not None:
+            out_sh = out_sh + (data,)
         return jax.jit(
             step,
             in_shardings=(repl, repl, data),
-            out_shardings=(repl, repl, repl, data),
+            out_shardings=out_sh,
             donate_argnums=(0, 1) if donate else (),
         )
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def make_eval_step(apply_fn: Callable, loss_fn: Callable,
-                   flip_pairs=None, mesh=None, dtype=None) -> Callable:
-    """Eval step with optional flip-test averaging (Test.py:134-141)."""
+                   flip_pairs=None, mesh=None, dtype=None,
+                   device_targets=None) -> Callable:
+    """Eval step with optional flip-test averaging (Test.py:134-141).
+
+    With ``device_targets`` the batch carries the raw pipeline tail (see
+    ``_batch_inputs``) and the step returns (loss, out, target)."""
     fwd_kw = _dtype_kw(dtype)
 
     def step(params, batch):
-        out = apply_fn(params, batch['image'], train=False, **fwd_kw)
+        image, target, target_weight = _batch_inputs(batch, device_targets)
+        out = apply_fn(params, image, train=False, **fwd_kw)
         out = out.astype(jnp.float32)
         if flip_pairs is not None:
             from simple_hrnet_tpu.ops import decode as D
-            flipped_in = batch['image'][:, :, ::-1, :]
+            flipped_in = image[:, :, ::-1, :]
             out_f = apply_fn(params, flipped_in, train=False, **fwd_kw)
             out = D.flip_test_average(out.astype(jnp.float32),
                                       out_f.astype(jnp.float32), flip_pairs)
-        loss = loss_fn(out, batch['target'], batch['target_weight'])
+        loss = loss_fn(out, target, target_weight)
+        if device_targets is not None:
+            return loss, out, target
         return loss, out
 
     if mesh is not None:
         from simple_hrnet_tpu.parallel import data_sharding, replicated_sharding
         repl = replicated_sharding(mesh)
         data = data_sharding(mesh)
+        out_sh = (repl, data) if device_targets is None \
+            else (repl, data, data)
         return jax.jit(step, in_shardings=(repl, data),
-                       out_shardings=(repl, data))
+                       out_shardings=out_sh)
     return jax.jit(step)
 
 

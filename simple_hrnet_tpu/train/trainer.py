@@ -61,7 +61,8 @@ class Train:
                  debug_nans: bool = False,
                  dtype: Optional[str] = None,
                  use_grouped_trunk: bool = False,
-                 use_process_workers: bool = False):
+                 use_process_workers: bool = False,
+                 device_targets: bool = False):
         self.exp_name = exp_name
         self.ds_train = ds_train
         self.ds_val = ds_val
@@ -164,16 +165,40 @@ class Train:
             self.epoch = (cfg or {}).get('epoch', step or 0)
             print(f'Resuming from epoch {self.epoch}')
 
+        # device_targets: the datasets emit the raw pipeline tail
+        # (image-in-[0,1], joints, joints_vis) and ImageNet normalize +
+        # gaussian target generation run inside the jitted step
+        # (steps.py:_batch_inputs) — the host sheds per-sample normalize,
+        # the 470 KB/sample target stamp/collate, and its transfer
+        self.device_targets = device_targets
+        dt_cfg = None
+        if device_targets:
+            if not getattr(ds_train, 'device_targets', False):
+                raise ValueError(
+                    'Train(device_targets=True) needs the datasets built '
+                    'with device_targets=True (they must emit the raw '
+                    'pipeline tail)')
+            jw = ds_train.joints_weight \
+                if getattr(ds_train, 'use_different_joints_weight', False) \
+                else None
+            dt_cfg = {
+                'heatmap_size': tuple(ds_train.heatmap_size),
+                'image_size': tuple(ds_train.image_size),
+                'heatmap_sigma': ds_train.heatmap_sigma,
+                'joints_weight': None if jw is None
+                else np.asarray(jw, np.float32),
+            }
+
         # bf16 conv compute with f32 master params when dtype='bfloat16';
         # donated buffers let XLA update params/opt_state in place
         self._train_step = steps_mod.make_train_step(
             self.apply_fn, self.loss_fn, self.optimizer, mesh=mesh,
-            donate=True, dtype=dtype)
+            donate=True, dtype=dtype, device_targets=dt_cfg)
         flip_pairs = getattr(ds_val, 'flip_pairs', None) \
             if flip_test_images else None
         self._eval_step = steps_mod.make_eval_step(
             self.apply_fn, self.loss_fn, flip_pairs=flip_pairs, mesh=mesh,
-            dtype=dtype)
+            dtype=dtype, device_targets=dt_cfg)
 
         if mesh is not None:
             from simple_hrnet_tpu.parallel import replicate
@@ -191,9 +216,18 @@ class Train:
 
     # -- hooks for subclasses ----------------------------------------------
 
-    def _make_batch(self, image, target, target_weight):
-        batch = {'image': np.asarray(image), 'target': np.asarray(target),
-                 'target_weight': np.asarray(target_weight)}
+    def _make_batch(self, image, second, third):
+        """Assemble the step's batch dict. Host-target mode: (image, target,
+        target_weight); device_targets mode: (image01, joints, joints_vis)
+        — the step stamps targets in-graph and returns them."""
+        if self.device_targets:
+            batch = {'image': np.asarray(image),
+                     'joints': np.asarray(second),
+                     'joints_vis': np.asarray(third)}
+        else:
+            batch = {'image': np.asarray(image),
+                     'target': np.asarray(second),
+                     'target_weight': np.asarray(third)}
         if self.mesh is not None:
             from simple_hrnet_tpu.parallel import shard_batch
             batch = shard_batch(batch, self.mesh)
@@ -202,14 +236,20 @@ class Train:
     def _train(self):
         self.mean_loss_train = 0.
         self.mean_acc_train = 0.
-        for step, (image, target, target_weight, joints_data) in enumerate(
+        for step, (image, second, third, joints_data) in enumerate(
                 self.dl_train):
-            batch = self._make_batch(image, target, target_weight)
-            self.params, self.opt_state, loss, output = self._train_step(
-                self.params, self.opt_state, batch)
+            batch = self._make_batch(image, second, third)
+            if self.device_targets:
+                (self.params, self.opt_state, loss, output,
+                 target) = self._train_step(self.params, self.opt_state,
+                                            batch)
+            else:
+                self.params, self.opt_state, loss, output = self._train_step(
+                    self.params, self.opt_state, batch)
+                target = batch['target']
 
             accs, avg_acc, cnt, joints_preds, joints_target = \
-                self.ds_train.evaluate_accuracy(output, batch['target'])
+                self.ds_train.evaluate_accuracy(output, target)
             loss = float(loss)
             avg_acc = float(avg_acc)
             self.mean_loss_train += loss
@@ -224,12 +264,16 @@ class Train:
     def _val(self):
         self.mean_loss_val = 0.
         self.mean_acc_val = 0.
-        for step, (image, target, target_weight, joints_data) in enumerate(
+        for step, (image, second, third, joints_data) in enumerate(
                 self.dl_val):
-            batch = self._make_batch(image, target, target_weight)
-            loss, output = self._eval_step(self.params, batch)
+            batch = self._make_batch(image, second, third)
+            if self.device_targets:
+                loss, output, target = self._eval_step(self.params, batch)
+            else:
+                loss, output = self._eval_step(self.params, batch)
+                target = batch['target']
             accs, avg_acc, cnt, joints_preds, joints_target = \
-                self.ds_val.evaluate_accuracy(output, batch['target'])
+                self.ds_val.evaluate_accuracy(output, target)
             self.mean_loss_val += float(loss)
             self.mean_acc_val += float(avg_acc)
             self._log_step('val', step, float(loss), float(avg_acc), image,
@@ -250,7 +294,7 @@ class Train:
         self.summary_writer.add_scalar(f'{prefix}_acc', acc, global_step)
         if step == 0:
             from simple_hrnet_tpu.utils.visualization import save_images
-            save_images(image, target, np.asarray(joints_target),
+            save_images(image, np.asarray(target), np.asarray(joints_target),
                         np.asarray(output), np.asarray(joints_preds),
                         joints_data['joints_visibility'],
                         self.summary_writer, step=global_step,
