@@ -124,7 +124,13 @@ void warp_affine_bilinear(const float* src, int h, int w, const float* m_inv,
   }
 }
 
-// Fused: JPEG -> RGB -> warp -> (x/255 - mean)/std. out is (oh, ow, 3) f32.
+// Fused: JPEG -> RGB -> warp -> (x/255 - mean)*(1/std). out is (oh, ow, 3)
+// f32. The normalize multiplies by a PRE-DIVIDED reciprocal rather than
+// dividing per pixel: a single f32 division 1/std matches numpy's
+// np.float32(1)/STD bit-for-bit, and mul-by-constant is never
+// strength-reduced (XLA rewrites x/const into x*(1/const) inside jit, so
+// the whole framework standardizes on the multiply form — see
+// data/coco.py IMAGENET_INV_STD and train/steps.py:_batch_inputs).
 int decode_warp_normalize(const uint8_t* jpeg, int len, const float* m_inv,
                           int oh, int ow, const float* mean,
                           const float* std_, float* out) {
@@ -135,6 +141,7 @@ int decode_warp_normalize(const uint8_t* jpeg, int len, const float* m_inv,
 
   // warp directly from uint8 with inline normalize
   const float inv255 = 1.0f / 255.0f;
+  const float istd[3] = {1.0f / std_[0], 1.0f / std_[1], 1.0f / std_[2]};
   for (int y = 0; y < oh; ++y) {
     for (int x = 0; x < ow; ++x) {
       const float sx = m_inv[0] * x + m_inv[1] * y + m_inv[2];
@@ -159,9 +166,9 @@ int decode_warp_normalize(const uint8_t* jpeg, int len, const float* m_inv,
         }
       }
       float* o = out + (static_cast<size_t>(y) * ow + x) * 3;
-      o[0] = (acc[0] * inv255 - mean[0]) / std_[0];
-      o[1] = (acc[1] * inv255 - mean[1]) / std_[1];
-      o[2] = (acc[2] * inv255 - mean[2]) / std_[2];
+      o[0] = (acc[0] * inv255 - mean[0]) * istd[0];
+      o[1] = (acc[1] * inv255 - mean[1]) * istd[1];
+      o[2] = (acc[2] * inv255 - mean[2]) * istd[2];
     }
   }
   return 0;

@@ -79,7 +79,8 @@ def main():
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--model_c', type=int, default=48)
     ap.add_argument('--dtype', default='bfloat16')
-    ap.add_argument('--grouped', action='store_true', default=True)
+    ap.add_argument('--grouped', action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument('--workers', type=int, default=2)
     ap.add_argument('--epochs', type=int, default=1)
     args = ap.parse_args()

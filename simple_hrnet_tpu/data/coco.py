@@ -33,6 +33,13 @@ from simple_hrnet_tpu.ops import nms as nms_ops
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+# The normalize is written as (x - mean) * inv_std everywhere (host numpy,
+# native C++, in-graph jit) rather than a division: XLA strength-reduces
+# x / const into x * (1/const), so a division on the host and a division
+# in-graph produce DIFFERENT bits (1-2 ulp), which amplifies to ~7e-4
+# through the conv stack. One shared f32 reciprocal makes the host
+# pipeline and the device_targets in-graph normalize bit-identical.
+IMAGENET_INV_STD = (np.float32(1.0) / IMAGENET_STD).astype(np.float32)
 # device_targets mode: the host emits the raw [0, 1] warp (normalize runs
 # in-graph); mean 0 / std 1 makes the fused native kernel produce exactly
 # the acc*inv255 intermediate the normalized path would have computed.
@@ -288,7 +295,7 @@ class COCODataset(HumanPoseEstimationDataset):
                 image = image.astype(np.float32) / 255.0
             else:
                 image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                         / IMAGENET_STD)
+                         * IMAGENET_INV_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:

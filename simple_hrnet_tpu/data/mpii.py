@@ -34,7 +34,7 @@ import numpy as np
 
 from simple_hrnet_tpu.data import target as target_gen
 from simple_hrnet_tpu.data.base import HumanPoseEstimationDataset
-from simple_hrnet_tpu.data.coco import (IMAGENET_MEAN, IMAGENET_STD,
+from simple_hrnet_tpu.data.coco import (IMAGENET_INV_STD, IMAGENET_MEAN,
                                         fliplr_joints)
 from simple_hrnet_tpu.ops import affine
 
@@ -180,7 +180,7 @@ class MPIIDataset(HumanPoseEstimationDataset):
             image = image.astype(np.float32) / 255.0
         else:
             image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                     / IMAGENET_STD)
+                     * IMAGENET_INV_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:

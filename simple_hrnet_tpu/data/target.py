@@ -95,6 +95,18 @@ def generate_target_device(joints: jnp.ndarray, joints_vis: jnp.ndarray,
     stride = (jnp.asarray(image_size, jnp.float32) /
               jnp.asarray(heatmap_size, jnp.float32))
     tmp_size = heatmap_sigma * 3
+    if tmp_size != int(tmp_size):
+        # The host/reference semantics for fractional sigma*3 are not
+        # replicable: int() truncation toward zero shifts the stamp window
+        # by one near the top/left edge, and for frac(sigma*3) < 0.5 the
+        # int(2*tmp_size+1)-wide gaussian is narrower than the
+        # br-ul window, which crashes the host slice assignment for
+        # interior joints. Use host targets for fractional sigma.
+        raise ValueError(
+            f'generate_target_device requires heatmap_sigma*3 to be an '
+            f'integer (got sigma={heatmap_sigma!r}); the reference '
+            f'stamping (COCO.py:460-515) is ill-defined for fractional '
+            f'windows — use host-side targets (device_targets=False).')
 
     # reference: int(x/stride + 0.5) — truncation toward zero, not floor
     mu = jnp.trunc(joints / stride + 0.5).astype(jnp.int32)  # (N, J, 2)

@@ -48,9 +48,12 @@ def _batch_inputs(batch, device_targets):
     if device_targets is None:
         return batch['image'], batch['target'], batch['target_weight']
     from simple_hrnet_tpu.data import target as target_gen
-    from simple_hrnet_tpu.data.coco import IMAGENET_MEAN, IMAGENET_STD
+    from simple_hrnet_tpu.data.coco import IMAGENET_INV_STD, IMAGENET_MEAN
+    # multiply by the SAME f32 reciprocal the host pipeline uses — a
+    # division here compiles to a different reciprocal rewrite and breaks
+    # bit parity with the host-target mode (see data/coco.py)
     image = ((batch['image'] - jnp.asarray(IMAGENET_MEAN))
-             / jnp.asarray(IMAGENET_STD))
+             * jnp.asarray(IMAGENET_INV_STD))
     target, weight = target_gen.generate_target_device(
         batch['joints'], batch['joints_vis'],
         tuple(device_targets['heatmap_size']),

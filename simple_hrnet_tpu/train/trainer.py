@@ -173,11 +173,14 @@ class Train:
         self.device_targets = device_targets
         dt_cfg = None
         if device_targets:
-            if not getattr(ds_train, 'device_targets', False):
+            if not getattr(ds_train, 'device_targets', False) or (
+                    ds_val is not None
+                    and not getattr(ds_val, 'device_targets', False)):
                 raise ValueError(
-                    'Train(device_targets=True) needs the datasets built '
+                    'Train(device_targets=True) needs BOTH datasets built '
                     'with device_targets=True (they must emit the raw '
-                    'pipeline tail)')
+                    'pipeline tail); a host-target ds_val would fail with '
+                    'an opaque shape error inside the jitted eval step')
             jw = ds_train.joints_weight \
                 if getattr(ds_train, 'use_different_joints_weight', False) \
                 else None
@@ -294,6 +297,12 @@ class Train:
         self.summary_writer.add_scalar(f'{prefix}_acc', acc, global_step)
         if step == 0:
             from simple_hrnet_tpu.utils.visualization import save_images
+            if self.device_targets:
+                # the raw pipeline tail is in [0, 1]; save_images
+                # denormalizes assuming ImageNet-normalized input
+                from simple_hrnet_tpu.data.coco import (IMAGENET_INV_STD,
+                                                        IMAGENET_MEAN)
+                image = (np.asarray(image) - IMAGENET_MEAN) * IMAGENET_INV_STD
             save_images(image, np.asarray(target), np.asarray(joints_target),
                         np.asarray(output), np.asarray(joints_preds),
                         joints_data['joints_visibility'],
