@@ -604,6 +604,39 @@ class SimpleHRNet:
         self._fused_jit[key] = run
         return run
 
+    def _get_detect_rows(self, in_hw: Tuple[int, int], n_frames: int,
+                         max_people: int):
+        """Detect-only jit for the compacted-crop stream: returns the
+        score-ordered detector rows, validity and per-frame counts,
+        truncated to ``max_people`` per frame exactly like
+        ``_get_fused_frames`` — so downstream compaction yields the same
+        people the fixed-slot stream would. Outputs stay on device
+        (replicated under a mesh, matching ``_get_gather_crop``'s input
+        shardings)."""
+        key = ('rows', in_hw, n_frames, max_people)
+        if key in self._fused_jit:
+            return self._fused_jit[key]
+
+        det_fn = self.detector.pure_fn(in_hw)
+
+        @jax.jit
+        def run(det_params, frames_bgr):  # (F, H, W, 3) BGR
+            rgb = frames_bgr[..., ::-1]
+            rows, valid = det_fn(det_params, rgb.astype(jnp.float32))
+            rows = rows[:, :max_people]
+            valid = valid[:, :max_people]
+            return rows, valid, valid.sum(axis=1).astype(jnp.int32)
+
+        if self.mesh is not None and n_frames % self.mesh.size == 0:
+            from simple_hrnet_tpu.parallel import (data_sharding,
+                                                   replicated_sharding)
+            repl = replicated_sharding(self.mesh)
+            run = jax.jit(run.__wrapped__,
+                          in_shardings=(repl, data_sharding(self.mesh)),
+                          out_shardings=(repl, repl, repl))
+        self._fused_jit[key] = run
+        return run
+
     def _get_detect_counts(self, in_hw: Tuple[int, int], n_frames: int):
         """Rung 0 of the adaptive slot ladder: a detect-ONLY jit that
         returns the per-frame valid-detection count (F,) int32 — no crop
@@ -665,7 +698,8 @@ class SimpleHRNet:
 
     def predict_stream(self, frames, max_people: int = 16,
                        prefetch: int = 2, batch_frames: int = 1,
-                       adaptive_slots: bool = False, slot_window: int = 16):
+                       adaptive_slots: bool = False, slot_window: int = 16,
+                       compact_crops: bool = False):
         """Pipelined video inference: yields (boxes, pts) per frame
         (plus heatmaps first if return_heatmaps).
 
@@ -697,8 +731,31 @@ class SimpleHRNet:
         the fixed-slot stream (detector rows are score-ordered, so
         non-saturated truncation is exact). Each rung compiles its own
         graph on first use (see ``warmup``).
+
+        ``compact_crops=True`` (requires ``batch_frames > 1`` and a
+        detector) sizes the pose batch to the window's TOTAL detected
+        people instead of ``batch_frames * max_people`` slots: detections
+        from all frames in the launch window compact frame-major
+        (``_get_gather_crop``'s stable-argsort gather) into one
+        power-of-two-bucketed pose batch — a mixed-density window runs
+        only the crops it actually holds. Includes a detect-only idle
+        tier after an all-empty window. Results are identical to the
+        fixed-slot stream; supersedes ``adaptive_slots`` for chunked
+        serving (the rung ladder approximates what compaction computes
+        exactly), so combining both is an error.
         """
         import collections
+
+        if compact_crops:
+            if self.detector is None or batch_frames <= 1:
+                raise ValueError('compact_crops=True requires multiperson '
+                                 'detection and batch_frames > 1')
+            if adaptive_slots:
+                raise ValueError('compact_crops already adapts the pose '
+                                 'batch to the scene; drop adaptive_slots')
+            yield from self._stream_compact(frames, max_people, prefetch,
+                                            batch_frames)
+            return
 
         if adaptive_slots and self.detector is not None:
             yield from self._stream_adaptive(frames, max_people, prefetch,
@@ -909,6 +966,142 @@ class SimpleHRNet:
         while ready:
             yield ready.popleft()
 
+    def _finish_slice(self, hm, boxes, pts):
+        """Per-frame predict() return structure from compacted-order
+        slices (the cross-frame analogue of ``_finish_fused``)."""
+        res = []
+        if self.return_heatmaps:
+            res.append(np.transpose(hm, (0, 3, 1, 2)))
+        if self.return_bounding_boxes:
+            res.append(boxes.astype(np.int32))
+        res.append(pts.astype(np.float32))
+        return res if len(res) > 1 else res[0]
+
+    def _stream_compact(self, frames, max_people: int, prefetch: int,
+                        batch_frames: int):
+        """predict_stream's cross-frame crop-compaction engine.
+
+        The fixed-slot chunked stream pays ``batch_frames * max_people``
+        pose crops per launch whatever the scene holds — a window of
+        seven 1-person frames plus one 8-person frame runs 64 crops for
+        15 people, and the pose batch is 84%+ of the fused graph
+        (PERF.md). Here each window runs TWO launches: a detect-only jit
+        (rows/valid stay on device, truncated to ``max_people`` like the
+        fixed-slot graph), then ``_get_gather_crop`` — the stable-argsort
+        compaction the batched ``predict`` already uses
+        (SimpleHRNet.py:345-496's per-image re-split, done once across
+        the whole window) — with the pose batch sized to a power-of-two
+        bucket of the window's TOTAL detected people. The first pose
+        launch is sized optimistically from the previous window's total,
+        so the one host sync per window still happens AFTER the pose
+        forward; shortfalls run exact follow-up windows (rare, and only
+        when density jumps). A window following an all-empty window runs
+        the detector alone (the rung-0 idle tier) and sizes the wake-up
+        pose launch exactly from the synced counts."""
+        import collections
+
+        if self.mesh is not None and batch_frames % self.mesh.size:
+            raise ValueError(
+                f'batch_frames={batch_frames} must divide the mesh '
+                f'({self.mesh.size} devices) so frames shard evenly')
+
+        mult = self.mesh.size if self.mesh else 1
+        pending = collections.deque()
+        ready = collections.deque()
+        # previous window's total people — sizes the next optimistic
+        # pose launch; 0 = idle (detect-only until people reappear)
+        prior = [2 * batch_frames]
+
+        def dispatch(buf):
+            n_real = len(buf)
+            pad = buf + [buf[-1]] * (batch_frames - n_real)
+            stacked = np.stack(pad)
+            frames_dev = stacked if self.mesh is not None else \
+                jax.device_put(stacked, self.device)
+            rows, valid, counts_d = self._get_detect_rows(
+                pad[0].shape[:2], batch_frames, max_people)(
+                self.detector.params, frames_dev)
+            if prior[0] == 0:
+                # idle tier: no pose launch; resolve syncs the detector
+                # counts and wakes up with an exactly-sized launch
+                pending.append((frames_dev, rows, valid, counts_d,
+                                0, None, n_real))
+                return
+            bucket0 = _buckets(prior[0], self.max_batch_size, mult)
+            out = self._get_gather_crop(bucket0, None)(
+                self.params, frames_dev, rows, valid, np.int32(0))
+            pending.append((frames_dev, rows, valid, counts_d,
+                            bucket0, out, n_real))
+
+        def resolve(entry):
+            frames_dev, rows, valid, counts_d, bucket0, out, n_real = entry
+            if out is None:
+                counts = np.asarray(counts_d)  # sync: detector output only
+                needed = int(counts[:n_real].sum())
+                if needed == 0:
+                    prior[0] = 0
+                    return [self._finish_empty() for _ in range(n_real)]
+                hm_l, box_l, pts_l, start = [], [], [], 0
+            else:
+                total_d, counts_d, hm, pboxes, pts = out
+                total = int(total_d)  # sync AFTER the window's pose launch
+                counts = np.asarray(counts_d)
+                # padded duplicate frames append their crops AFTER every
+                # real frame's (frame-major order) — consume only the real
+                needed = int(counts[:n_real].sum())
+                take = min(bucket0, needed)
+                hm_l = [np.asarray(hm)[:take]]
+                box_l = [np.asarray(pboxes)[:take]]
+                pts_l = [np.asarray(pts)[:take]]
+                start = take
+            while start < needed:
+                b = _buckets(needed - start, self.max_batch_size, mult)
+                _, _, hm, pboxes, pts = self._get_gather_crop(b, None)(
+                    self.params, frames_dev, rows, valid, np.int32(start))
+                take = min(b, needed - start)
+                hm_l.append(np.asarray(hm)[:take])
+                box_l.append(np.asarray(pboxes)[:take])
+                pts_l.append(np.asarray(pts)[:take])
+                start += take
+            prior[0] = needed
+            hm_all = np.concatenate(hm_l) if hm_l else \
+                np.zeros((0, self.resolution[0] // 4,
+                          self.resolution[1] // 4, self.nof_joints),
+                         np.float32)
+            box_all = np.concatenate(box_l) if box_l else \
+                np.zeros((0, 4), np.float32)
+            pts_all = np.concatenate(pts_l) if pts_l else \
+                np.zeros((0, self.nof_joints, 3), np.float32)
+            results, index = [], 0
+            for i in range(n_real):
+                n = int(counts[i])
+                results.append(self._finish_slice(
+                    hm_all[index:index + n], box_all[index:index + n],
+                    pts_all[index:index + n]))
+                index += n
+            return results
+
+        buf = []
+        for frame in frames:
+            f = np.ascontiguousarray(frame)
+            if buf and f.shape != buf[0].shape:
+                dispatch(buf)
+                buf = []
+            buf.append(f)
+            if len(buf) == batch_frames:
+                dispatch(buf)
+                buf = []
+            while len(pending) > prefetch:
+                ready.extend(resolve(pending.popleft()))
+            while ready:
+                yield ready.popleft()
+        if buf:
+            dispatch(buf)
+        while pending:
+            ready.extend(resolve(pending.popleft()))
+        while ready:
+            yield ready.popleft()
+
     # ------------------------------------------------------------------
     # public API (reference SimpleHRNet.py:174-210 contract)
     # ------------------------------------------------------------------
@@ -922,12 +1115,14 @@ class SimpleHRNet:
         seconds) to execution time. Runs each listed frame-batch size
         through ``predict`` on a zero frame (compiling the whole-frame or
         detect->crop->pose->decode graph, detector included); with
-        ``stream_max_people`` (an int, an iterable of ints, or
+        ``stream_max_people`` (an int, an iterable of ints,
         ``('adaptive', cap)`` to cover every rung the adaptive stream can
-        visit) also compiles the ``predict_stream`` fused graph(s), one
-        per entry of ``stream_batch_frames`` (pass the ``batch_frames``
-        values you will serve with). Combine with JAX's persistent
-        compilation cache to amortize across processes.
+        visit, or ``('compact', cap)`` to cover the compact_crops
+        stream's detect-rows graph and every power-of-two people bucket
+        up to a full window) also compiles the ``predict_stream`` fused
+        graph(s), one per entry of ``stream_batch_frames`` (pass the
+        ``batch_frames`` values you will serve with). Combine with JAX's
+        persistent compilation cache to amortize across processes.
 
         Returns {'single': n, 'gather': n, 'fused': n} executable-cache
         sizes (follow-up people-bucket shapes beyond the optimistic first
@@ -938,13 +1133,43 @@ class SimpleHRNet:
             dummy = np.zeros((b, h, w, 3), np.uint8)
             self.predict(dummy[0] if b == 1 else dummy)
         if stream_max_people is not None and self.detector is not None:
+            compact_cap = None
             if isinstance(stream_max_people, int):
                 slot_counts = [stream_max_people]
             elif (len(stream_max_people) == 2
                   and stream_max_people[0] == 'adaptive'):
                 slot_counts = _slot_ladder(int(stream_max_people[1]))
+            elif (len(stream_max_people) == 2
+                  and stream_max_people[0] == 'compact'):
+                compact_cap = int(stream_max_people[1])
+                slot_counts = []
             else:
                 slot_counts = [int(s) for s in stream_max_people]
+            if compact_cap is not None:
+                mult = self.mesh.size if self.mesh else 1
+                for nf in stream_batch_frames:
+                    nf = max(int(nf), 1)
+                    rows_run = self._get_detect_rows((h, w), nf, compact_cap)
+                    rows, valid, _ = rows_run(
+                        self.detector.params,
+                        np.zeros((nf, h, w, 3), np.uint8))
+                    # every power-of-two people bucket a window can need,
+                    # executed (not lower().compile()d — see below) so the
+                    # stream's dispatch cache is the one warmed
+                    b = _buckets(1, self.max_batch_size, mult)
+                    seen = set()
+                    while True:
+                        if b not in seen:
+                            seen.add(b)
+                            out = self._get_gather_crop(b, None)(
+                                self.params,
+                                np.zeros((nf, h, w, 3), np.uint8),
+                                rows, valid, np.int32(0))
+                            jax.block_until_ready(out)
+                        if b >= _buckets(compact_cap * nf,
+                                         self.max_batch_size, mult):
+                            break
+                        b = _buckets(b + 1, self.max_batch_size, mult)
             for slots in slot_counts:
                 for nf in stream_batch_frames:
                     # execute once on zero frames: lower().compile() would

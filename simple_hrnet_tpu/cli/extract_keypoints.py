@@ -20,7 +20,7 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
          csv_output_filename='output.csv', csv_delimiter=',',
          json_output_filename='output.json', device=None,
          enable_tensorrt=False, max_frames=None, pipeline=False,
-         batch_frames=1, adaptive_slots=False):
+         batch_frames=1, adaptive_slots=False, compact_crops=False):
     import cv2
 
     from simple_hrnet_tpu import SimpleHRNet
@@ -71,7 +71,8 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
         results = model.predict_stream(prefetch_iter(frames()),
                                        max_people=max_batch_size,
                                        batch_frames=batch_frames,
-                                       adaptive_slots=adaptive_slots)
+                                       adaptive_slots=adaptive_slots,
+                                       compact_crops=compact_crops)
     else:
         results = (model.predict(f) for f in frames())
 
@@ -135,6 +136,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'to the scene (max_batch_size becomes the '
                              'cap) — sparse scenes skip most of the pose '
                              'batch, crowded launches re-run one rung up')
+    parser.add_argument('--compact_crops', action='store_true',
+                        help='with --pipeline --batch_frames>1: size the '
+                             'pose batch to the window\'s TOTAL detected '
+                             'people (cross-frame compaction) instead of '
+                             'batch_frames*slots — the exact-fit upgrade '
+                             'of --adaptive_slots for chunked serving')
     return parser
 
 

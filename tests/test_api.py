@@ -695,3 +695,173 @@ def test_predict_stream_adaptive_mixed_shapes(w32_checkpoint):
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_f))
         np.testing.assert_array_equal(np.asarray(b_b), np.asarray(b_f))
+
+
+def test_predict_stream_compact_crops_parity(w32_checkpoint):
+    """compact_crops=True: the mixed-density VERDICT-r3 scenario (seven
+    1-person frames + one 8-person frame per window). Results must match
+    the fixed-slot batched stream exactly while the pose batch is sized
+    to the window's total people (16-bucket), not slots*frames (64)."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_heatmaps=True, return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    # 7 is _VaryStub's max reachable count (mean/32 on uint8 frames)
+    counts = [1, 1, 1, 1, 1, 1, 1, 7]
+    frames = _frames_with_counts(counts)
+
+    buckets = []
+    orig = model._get_gather_crop
+
+    def spy(bucket, clamp_hw=None):
+        buckets.append(bucket)
+        return orig(bucket, clamp_hw)
+
+    model._get_gather_crop = spy
+
+    fixed = list(model.predict_stream(frames, max_people=8, prefetch=1,
+                                      batch_frames=8))
+    buckets.clear()
+    compact = list(model.predict_stream(frames, max_people=8, prefetch=0,
+                                        batch_frames=8, compact_crops=True))
+
+    assert len(compact) == len(fixed) == len(frames)
+    for (h_f, b_f, p_f), (h_c, b_c, p_c), c in zip(fixed, compact, counts):
+        assert p_c.shape[0] == c
+        assert h_c.shape == h_f.shape and h_c.dtype == h_f.dtype
+        assert b_c.dtype == b_f.dtype and p_c.dtype == p_f.dtype
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_c), np.asarray(b_f))
+        np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_f),
+                                   atol=1e-4)
+    # the 14-person window ran pose batches totalling at most 32 crops
+    # (optimistic 16-bucket prior + possible exact follow-up), vs the
+    # fixed-slot stream's 8 slots x 8 frames = 64
+    assert buckets and all(b <= 16 for b in buckets)
+    assert sum(buckets) <= 32
+
+
+def test_predict_stream_compact_overflow_and_idle(w32_checkpoint):
+    """compact_crops: a density jump overflows the optimistic bucket and
+    is covered by exact follow-up launches; an all-empty window drops to
+    the detect-only idle tier (no pose launch) and the wake-up window is
+    sized exactly from the synced detector counts."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    # window 1: total 2 (prior -> 2); window 2: total 14 (overflow);
+    # window 3: empty (idle); window 4: empty (stays idle, detect only);
+    # window 5: wake-up, total 3, sized exactly
+    counts = [1, 1, 7, 7, 0, 0, 0, 0, 2, 1]
+    frames = _frames_with_counts(counts)
+
+    buckets = []
+    orig = model._get_gather_crop
+
+    def spy(bucket, clamp_hw=None):
+        buckets.append(bucket)
+        return orig(bucket, clamp_hw)
+
+    model._get_gather_crop = spy
+
+    fixed = list(model.predict_stream(frames, max_people=8, prefetch=1,
+                                      batch_frames=2))
+    buckets.clear()
+    compact = list(model.predict_stream(frames, max_people=8, prefetch=0,
+                                        batch_frames=2, compact_crops=True))
+
+    assert len(compact) == len(fixed) == len(frames)
+    for (b_f, p_f), (b_c, p_c), c in zip(fixed, compact, counts):
+        assert p_c.shape[0] == c
+        assert b_c.shape == b_f.shape and b_c.dtype == b_f.dtype
+        assert p_c.shape == p_f.shape and p_c.dtype == p_f.dtype
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_c), np.asarray(b_f))
+    # prefetch=0 resolves each window before the next dispatch:
+    # w1 first-window prior 4 = _buckets(2*batch_frames); w2 optimistic 2
+    # then exact follow-up 16 (needed 14, start 2 -> bucket 16 covers 12);
+    # w3 prior 16 (one launch); w4+w5: idle windows launch NO pose; wake-up
+    # w5 sizes exactly from counts: needed 3 -> bucket 4
+    assert buckets == [4, 2, 16, 16, 4]
+
+
+def test_predict_stream_compact_mixed_shapes(w32_checkpoint):
+    """compact_crops across a mid-stream resolution change: the window
+    flushes per geometry and results still match the fixed-slot stream."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        return_bounding_boxes=True,
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+
+    frames = (_frames_with_counts([1, 3, 2], shape=(100, 120, 3))
+              + _frames_with_counts([2, 1], shape=(80, 100, 3)))
+
+    fixed = list(model.predict_stream(frames, max_people=4, prefetch=2))
+    compact = list(model.predict_stream(frames, max_people=4, prefetch=0,
+                                        batch_frames=2, compact_crops=True))
+    assert len(compact) == len(fixed) == 5
+    for (b_f, p_f), (b_c, p_c) in zip(fixed, compact):
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_f),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b_c), np.asarray(b_f))
+
+
+def test_predict_stream_compact_rejects_bad_config(w32_checkpoint):
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+    frames = _frames_with_counts([1, 1])
+    with pytest.raises(ValueError, match='batch_frames'):
+        list(model.predict_stream(frames, compact_crops=True))
+    with pytest.raises(ValueError, match='adaptive_slots'):
+        list(model.predict_stream(frames, batch_frames=2,
+                                  compact_crops=True, adaptive_slots=True))
+
+
+def test_warmup_compact_buckets(w32_checkpoint):
+    """warmup(stream_max_people=('compact', cap)) precompiles the
+    detect-rows graph and every power-of-two people bucket a window can
+    need; a following compact stream compiles nothing new."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    model = SimpleHRNet(32, 17, path, multiperson=False, resolution=(64, 64),
+                        yolo_model_def='yolov3-tiny')
+    model.multiperson = True
+    model.detector = _VaryStub()
+    model.warmup((100, 120), batch_sizes=(),
+                 stream_max_people=('compact', 8),
+                 stream_batch_frames=(2,))
+    assert ('rows', (100, 120), 2, 8) in model._fused_jit
+    # buckets 1..16 compiled in the gather cache
+    assert {('gather', b, None) for b in (1, 2, 4, 8, 16)} \
+        <= set(model._crop_jit)
+    n_fused = len(model._fused_jit)
+    n_crop = len(model._crop_jit)
+    out = list(model.predict_stream(_frames_with_counts([1, 1, 7, 0]),
+                                    max_people=8, batch_frames=2,
+                                    compact_crops=True))
+    assert len(out) == 4
+    assert len(model._fused_jit) == n_fused
+    assert len(model._crop_jit) == n_crop
