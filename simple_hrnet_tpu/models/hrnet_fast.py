@@ -144,10 +144,17 @@ def pack_grouped(folded_params: Params, group: int = 2,
                 elif pallas_chains and group * c == 128:
                     from simple_hrnet_tpu.ops.pallas.fused_block import (
                         pack_chain_weights)
-                    # stored f32; the kernel casts to the activation dtype
+                    from simple_hrnet_tpu.ops.pallas.winograd_chain import (
+                        pack_winograd_weights)
+                    # stored f32; the kernels cast to the activation dtype
                     w, bias = pack_chain_weights(blocks, jnp.float32,
                                                  group=group)
-                    branches[f'chain{b}'] = {'w': w, 'b': bias}
+                    # 'ww': Winograd-H transformed weights — measured
+                    # 1.09x over chain v3 at the 128-lane pack (PERF.md
+                    # round 4); the apply prefers it when H is even
+                    branches[f'chain{b}'] = {'w': w, 'b': bias,
+                                             'ww': pack_winograd_weights(
+                                                 w, jnp.float32)}
             ps[str(m)] = {'branches': branches,
                           'fuse_layers': _pack_tree(sp['fuse_layers'], group,
                                                     int8_amax)}
@@ -201,6 +208,16 @@ def _stage_module_grouped(packed_m: Params, orig_m: Params,
             if chain is not None:
                 from simple_hrnet_tpu.ops.pallas.fused_block import (
                     chain_pallas_grouped, chain_pallas_ok)
+                from simple_hrnet_tpu.ops.pallas.winograd_chain import (
+                    chain_pallas_grouped_wino, wino_pallas_ok)
+                if 'ww' in chain and wino_pallas_ok(
+                        xs[b].shape[1], xs[b].shape[2], xs[b].dtype):
+                    # Winograd-H chain: 2/3 the MXU MACs of v3 in the
+                    # same taps-on-lanes layout — measured 0.155 vs
+                    # 0.168 ms at the W32 128-lane pack (PERF.md round 4)
+                    xs[b] = chain_pallas_grouped_wino(xs[b], chain['ww'],
+                                                      chain['b'])
+                    continue
                 if chain_pallas_ok(xs[b].shape[2], xs[b].dtype):
                     # VMEM-resident Pallas chain on the grouped tensor (128
                     # lanes exactly; see ops/pallas/fused_block.py)

@@ -261,3 +261,72 @@ def test_grouped_trunk_matches_plain(rng):
     y1 = hrnet_fast.apply_grouped(params, packed, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_winograd_chain_pallas_matches_unfused(rng, monkeypatch):
+    """Winograd-H Pallas chain == sequential blocks (f32, interpreter).
+
+    F(2,3) along H with taps-on-lanes kx (winograd_chain.py); exactness
+    here is the {0, +-1, +-0.5} transform arithmetic, f32."""
+    monkeypatch.setenv('SHT_PALLAS_CPU_INTERPRET', '1')
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.ops.pallas.fused_block import pack_chain_weights
+    from simple_hrnet_tpu.ops.pallas.winograd_chain import (
+        chain_pallas_grouped_wino, pack_winograd_weights)
+
+    C, H, W, B, G = 16, 16, 16, 4, 2
+    key = jax.random.PRNGKey(0)
+    blocks = []
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        blocks.append(L.fold_batch_norm(L.init_basic_block(k, C, C)))
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    y_ref = x
+    for bp in blocks:
+        y_ref = L.basic_block(bp, y_ref)
+
+    wts, bias = pack_chain_weights(blocks, dtype=jnp.float32, group=G)
+    w_wino = pack_winograd_weights(wts, dtype=jnp.float32)
+    # batch-halves packing (as fused_basic_chain)
+    step = B // G
+    xg = jnp.concatenate([x[g * step:(g + 1) * step] for g in range(G)],
+                         axis=-1)
+    with pltpu.force_tpu_interpret_mode():
+        yg = chain_pallas_grouped_wino(xg, w_wino, bias)
+    y = jnp.concatenate([yg[..., g * C:(g + 1) * C] for g in range(G)],
+                        axis=0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_winograd_chain_xla_matches_unfused(rng):
+    """Pure-XLA Winograd-H blockdiag chain == sequential blocks (f32, CPU),
+    including the odd-batch padding path."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.ops.pallas.fused_block import pack_chain_weights
+    from simple_hrnet_tpu.ops.pallas.winograd_chain import (
+        blockdiag_chain_wino, pack_winograd_weights_xla)
+
+    C, H, W = 16, 16, 12
+    key = jax.random.PRNGKey(1)
+    blocks = []
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        blocks.append(L.fold_batch_norm(L.init_basic_block(k, C, C)))
+    wts, bias = pack_chain_weights(blocks, dtype=jnp.float32)
+    w4 = pack_winograd_weights_xla(wts)
+
+    for B in (4, 3):
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        y_ref = x
+        for bp in blocks:
+            y_ref = L.basic_block(bp, y_ref)
+        y = blockdiag_chain_wino(x, w4, bias, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
