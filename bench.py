@@ -7,9 +7,11 @@ BASELINE.json ("frames/sec/chip at W48-384x288 multi-person"):
 
   1. HRNet-W48 384x288 bf16 b16 forward      (cross-round comparability)
   2. HRNet-W48 384x288 int8  b32 forward      (production-best serving)
-  3. multi-person e2e fps (YOLOv3 detect -> crop -> W48 pose -> decode,
+  3. W48 384x288 b16 bf16 grouped-trunk TRAIN step (fwd+bwd+Adam+BN;
+     driver-visible training perf, VERDICT r3 item #6)
+  4. multi-person e2e fps (YOLOv3 detect -> crop -> W48 pose -> decode,
      640x480 frame, 8 people slots, one fused graph, int8)
-  4. the same pipeline batched 8 frames per launch (predict_stream's
+  5. the same pipeline batched 8 frames per launch (predict_stream's
      batch_frames serving mode — aggregate fps, the production-best
      multi-person config; the LAST line, i.e. the scoreboard number)
 
@@ -62,16 +64,102 @@ def measure_torch_cpu_fps() -> float:
     return BATCH / dt
 
 
-def torch_cpu_fps() -> float:
+def _cached(key: str, measure):
+    cache = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            return json.load(f)['torch_cpu_w48_384x288_fps']
-    fps = measure_torch_cpu_fps()
-    with open(CACHE, 'w') as f:
-        json.dump({'torch_cpu_w48_384x288_fps': fps,
-                   'note': 'measured on this machine, single CPU core'}, f,
-                  indent=2)
-    return fps
+            cache = json.load(f)
+    if key not in cache:
+        cache[key] = measure()
+        cache['note'] = 'measured on this machine, single CPU core'
+        with open(CACHE, 'w') as f:
+            json.dump(cache, f, indent=2)
+    return cache[key]
+
+
+def torch_cpu_fps() -> float:
+    return _cached('torch_cpu_w48_384x288_fps', measure_torch_cpu_fps)
+
+
+def measure_torch_cpu_train_fps() -> float:
+    """Reference torch W48 TRAIN-step img/s on CPU (fwd+bwd+Adam, MSE over
+    input/4 heatmaps — training/Train.py:236-262's per-step work), same
+    b16 shape as the TPU train metric. 3 timed steps (a CPU W48 train
+    step runs ~30-40 s here; cached after first measure)."""
+    import torch
+    sys.path.append('/root/reference')
+    from models_.hrnet import HRNet as TorchHRNet
+
+    model = TorchHRNet(c=48, nof_joints=17)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    crit = torch.nn.MSELoss()
+    x = torch.randn(BATCH, 3, *RES)
+    tgt = torch.randn(BATCH, 17, RES[0] // 4, RES[1] // 4)
+
+    def step():
+        opt.zero_grad()
+        loss = crit(model(x), tgt)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup (allocator + autograd graph)
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        step()
+    return BATCH / ((time.perf_counter() - t0) / n)
+
+
+def torch_cpu_train_fps() -> float:
+    return _cached('torch_cpu_w48_384x288_train_fps',
+                   measure_torch_cpu_train_fps)
+
+
+def measure_train_step():
+    """On-chip W48 grouped-trunk TRAIN step throughput (bf16 mixed, b16):
+    forward with train-mode BN, loss, backward, Adam, BN running-stat
+    fold — the full fused step train/steps.py:make_train_step builds
+    (timed here without buffer donation, which lax.scan chaining forbids;
+    measured equal at this size, PERF.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.models import layers as L
+    from simple_hrnet_tpu.train import grouped as G
+    from simple_hrnet_tpu.train import losses
+    from simple_hrnet_tpu.utils.profiling import device_timer
+
+    rng = np.random.default_rng(0)
+    params = hrnet.init(jax.random.PRNGKey(0), c=48, nof_joints=17)
+    apply_fn = G.make_apply(group=2)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def full(img, p, os_, tgt, tw):
+        def loss_of(pp):
+            stats = {}
+            out = apply_fn(pp, img, train=True, stats=stats,
+                           dtype=jnp.bfloat16)
+            return (losses.joints_mse_loss(out.astype(jnp.float32), tgt,
+                                           tw), stats)
+        (l, stats), grads = jax.value_and_grad(loss_of, has_aux=True)(p)
+        updates, os2 = opt.update(grads, os_, p)
+        p2 = optax.apply_updates(p, updates)
+        p2 = L.update_running_stats(p2, stats)
+        # device_timer reduces EVERY returned leaf into the chained
+        # scalar, keeping the whole backward + update alive
+        return (l, p2, os2)
+
+    img = jnp.asarray(rng.standard_normal((BATCH, *RES, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((BATCH, RES[0] // 4, RES[1] // 4,
+                                           17)), jnp.float32)
+    tw = jnp.ones((BATCH, 17, 1), jnp.float32)
+    t = device_timer(full, img, params, opt_state, tgt, tw,
+                     iters_lo=2, iters_hi=22, repeats=3)
+    return BATCH / t
 
 
 def measure_w48_forward():
@@ -166,6 +254,14 @@ def main():
         'value': round(int8, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(int8 / baseline, 2),
+    }), flush=True)
+    train = measure_train_step()
+    print(json.dumps({
+        'metric': 'HRNet-W48 384x288 TRAIN step (bf16 mixed, b16, grouped '
+                  'trunk, fwd+bwd+Adam+BN)',
+        'value': round(train, 2),
+        'unit': 'img/s/chip',
+        'vs_baseline': round(train / torch_cpu_train_fps(), 2),
     }), flush=True)
     mp, mp_b8 = measure_multiperson_fps()
     # generous-to-reference denominator: torch-CPU pose forward alone at
