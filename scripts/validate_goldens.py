@@ -104,7 +104,81 @@ def _fps(fn, n=10):
     return n / (time.perf_counter() - t0)
 
 
-def run(weights_dir, image_path, out_path):
+def int8_delta_report(ckpt48, is_random, results, coco_val_dir, tmpdir):
+    """bf16 vs int8 on the SAME W48 checkpoint: keypoint-level deltas on
+    synthetic frames always; full COCO-val AP delta (native COCOeval-exact
+    evaluator, utils/metrics.py) when ``--coco-val`` points at a real
+    val2017 tree. Publication note: TRT-style PTQ on CNNs typically costs
+    <1 AP (PERF.md) — this measures it instead of citing it."""
+    from simple_hrnet_tpu import SimpleHRNet
+
+    facades = {}
+    for tag in ('bfloat16', 'int8'):
+        facades[tag] = SimpleHRNet(48, 17, ckpt48, resolution=(384, 288),
+                                   multiperson=False, return_heatmaps=True,
+                                   dtype=tag)
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 255, (8, 480, 640, 3)).astype(np.uint8)
+    _, pts_b = facades['bfloat16'].predict(frames)
+    _, pts_q = facades['int8'].predict(frames)
+    pts_b = np.asarray(pts_b)[:, 0]
+    pts_q = np.asarray(pts_q)[:, 0]
+    px = np.abs(pts_b[..., :2] - pts_q[..., :2])
+    entry = {
+        'random_weights': is_random,
+        'keypoint_px_dev_max': float(px.max()),
+        'keypoint_px_dev_mean': float(px.mean()),
+        'keypoints_within_1px_pct': float((px.max(-1) <= 1.0).mean() * 100),
+        'conf_dev_max': float(np.abs(pts_b[..., 2] - pts_q[..., 2]).max()),
+    }
+
+    if coco_val_dir and os.path.isdir(coco_val_dir):
+        import jax.numpy as jnp
+        from simple_hrnet_tpu.data.coco import COCODataset
+        from simple_hrnet_tpu.data.loader import DataLoader
+        from simple_hrnet_tpu.ops import decode as D
+
+        ds = COCODataset(root_path=coco_val_dir, data_version='val2017',
+                         is_train=False, image_width=288, image_height=384)
+        aps = {}
+        for tag, fac in facades.items():
+            dl = DataLoader(ds, batch_size=16, shuffle=False, num_workers=2,
+                            drop_last=False)
+            all_preds, all_boxes, paths = [], [], []
+            for image, target, tw, jd in dl:
+                out = np.asarray(fac._apply(fac.params,
+                                            jnp.asarray(np.asarray(image)),
+                                            dtype=fac.dtype))
+                c = np.asarray(jd['center'])
+                s = np.asarray(jd['scale'])
+                score = np.asarray(jd['score'])
+                preds, maxvals = D.get_final_preds(out, c, s, 200.0)
+                n = np.asarray(preds).shape[0]
+                boxes = np.zeros((n, 6), np.float32)
+                boxes[:, 0:2] = c
+                boxes[:, 2:4] = s
+                boxes[:, 4] = np.prod(s * 200.0, axis=1)
+                boxes[:, 5] = score
+                all_preds.append(np.concatenate(
+                    [np.asarray(preds), np.asarray(maxvals)],
+                    axis=2).astype(np.float32))
+                all_boxes.append(boxes)
+                paths.extend(list(jd['imgPath']))
+            _, ap = ds.evaluate_overall_accuracy(
+                np.concatenate(all_preds), np.concatenate(all_boxes),
+                paths, output_dir=os.path.join(tmpdir, f'ap_{tag}'))
+            aps[tag] = float(ap)
+        entry['coco_ap'] = aps
+        entry['coco_ap_delta_bf16_minus_int8'] = \
+            round(aps['bfloat16'] - aps['int8'], 5)
+
+    results['configs']['int8_vs_bf16_w48'] = entry
+    print(f"[int8-delta] px_max={entry['keypoint_px_dev_max']:.2f} "
+          f"within1px={entry['keypoints_within_1px_pct']:.1f}% "
+          f"ap={entry.get('coco_ap', 'n/a (--coco-val not given)')}")
+
+
+def run(weights_dir, image_path, out_path, coco_val_dir=None):
     import torch
     import jax.numpy as jnp
     from simple_hrnet_tpu import SimpleHRNet
@@ -212,6 +286,11 @@ def run(weights_dir, image_path, out_path):
     }
     print(f'[video] frames={len(outs)} fps={video_fps:.1f}')
 
+    # 6. int8 PTQ accuracy delta vs bf16 (VERDICT r3 #8: the scoreboard's
+    # headline configs are int8; this quantifies their accuracy cost the
+    # day real weights land — and the keypoint-level deltas already today)
+    int8_delta_report(ckpt48, rnd48, results, coco_val_dir, tmpdir)
+
     any_random = any(v.get('random_weights') for v in
                      results['configs'].values())
     results['all_real_weights'] = not any_random
@@ -230,5 +309,8 @@ if __name__ == '__main__':
                     help='directory with official checkpoints (see header)')
     ap.add_argument('--image', default=None, help='test image (BGR)')
     ap.add_argument('--out', default='goldens.json')
+    ap.add_argument('--coco-val', default=None,
+                    help='COCO root with val2017/ + annotations/ — adds a '
+                         'measured int8-vs-bf16 COCO AP delta to the report')
     args = ap.parse_args()
-    run(args.weights_dir, args.image, args.out)
+    run(args.weights_dir, args.image, args.out, args.coco_val)
