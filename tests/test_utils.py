@@ -320,6 +320,56 @@ def test_live_camera_dataset_on_video(tmp_path):
     ds.release()
 
 
+def test_live_camera_per_field_parity(tmp_path):
+    """Per-field pin of the LiveCamera pipeline (VERDICT r3 #7): the frame
+    yielded is BIT-identical to cv2.rotate-then-resize of the raw capture
+    — the reference swaps H/W at its resizes (LiveCamera.py:37,62,75 pass
+    resolution[1], resolution[0] against the (height, width) convention);
+    our fix is pinned on non-square frames — and the detections field is
+    the detector applied to EXACTLY that frame (content-dependent stub, so
+    any pixel divergence shows up in the detection values too)."""
+    import cv2
+    from simple_hrnet_tpu.data.live import LiveCameraDataset
+
+    video = str(tmp_path / 'live_pf.avi')
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 10,
+                             (96, 128))
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        writer.write(rng.uniform(0, 255, (128, 96, 3)).astype(np.uint8))
+    writer.release()
+
+    # MJPG is lossy: build the expectation from the decoder's own output
+    cap = cv2.VideoCapture(video)
+    decoded = [cap.read()[1] for _ in range(3)]
+    cap.release()
+
+    seen = []
+
+    class Det:
+        def predict_single(self, frame):
+            seen.append(frame.copy())
+            return np.asarray([[float(frame.mean()), frame.shape[0],
+                                frame.shape[1], 0, 0, 0, 0]], np.float32)
+
+    ds = LiveCameraDataset(filename=video, resolution=(64, 48),
+                           detector=Det(), max_frames=3,
+                           rotation_code=cv2.ROTATE_90_CLOCKWISE)
+    n = 0
+    for (ok, frame, det), raw in zip(ds, decoded):
+        expect = cv2.resize(cv2.rotate(raw, cv2.ROTATE_90_CLOCKWISE),
+                            (48, 64))  # cv2 takes (width, height)
+        assert ok and frame.shape == (64, 48, 3)
+        np.testing.assert_array_equal(frame, expect)
+        np.testing.assert_array_equal(seen.pop(0), expect)
+        np.testing.assert_array_equal(
+            det, np.asarray([[float(expect.mean()), 64, 48, 0, 0, 0, 0]],
+                            np.float32))
+        n += 1
+    assert n == 3
+    ds.release()
+
+
 def test_live_demo_main_loop_on_video(tmp_path, monkeypatch):
     """live-demo main(): full loop on a synthetic video (single-person,
     save_video path, tracking smoothing) — writes output.avi."""
