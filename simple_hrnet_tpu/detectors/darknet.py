@@ -276,6 +276,51 @@ def fold_weights(params: Params) -> Params:
     return out
 
 
+def stem_phaseable(blocks: List[Block]) -> bool:
+    """True when the first two blocks are the classic darknet stem — a
+    stride-1 3x3 conv followed by a stride-2 3x3 downsample — and no later
+    block routes back to block 0 (whose output would be in phase layout
+    under the space-to-depth stem, ops/phase.py). YOLOv3 proper qualifies;
+    tiny (conv + maxpool) does not."""
+    if len(blocks) < 2:
+        return False
+    b0, b1 = blocks[0], blocks[1]
+    if not (b0['type'] == 'convolutional' and b0['size'] == 3
+            and b0['stride'] == 1 and b0['pad'] == 1
+            and b1['type'] == 'convolutional' and b1['size'] == 3
+            and b1['stride'] == 2 and b1['pad'] == 1):
+        return False
+    for i, blk in enumerate(blocks):
+        if blk['type'] == 'shortcut' and i + blk['from'] == 0:
+            return False
+        if blk['type'] == 'route':
+            if any((l if l >= 0 else i + l) == 0 for l in blk['layers']):
+                return False
+    return True
+
+
+def phase_stem_params(params: Params) -> Params:
+    """Rewrite FOLDED conv_0/conv_1 into their exact phase-space forms
+    (ops/phase.py): conv_0 (3,3,ci,co) -> (3,3,4ci,4co) with a 4-tiled
+    bias (phase-space output), conv_1 (3,3,co,c1) -> (2,2,4co,c1) whose
+    output is the standard layout. Must run BEFORE int8 quantization so
+    calibration sees the shipped kernels (both transformed convs fall
+    outside the int8 policy and run bf16, the measured-fastest form)."""
+    from simple_hrnet_tpu.ops import phase as P
+
+    out = dict(params)
+    c0, c1 = params['conv_0'], params['conv_1']
+    if 'bn' in c0 or 'bn' in c1 or 'kernel_q' in c0 or 'kernel_q' in c1:
+        raise ValueError('phase_stem_params expects folded, unquantized '
+                         'conv_0/conv_1')
+    k0, _ = P.phase_kernel_s1(np.asarray(c0['kernel']), pad=1)
+    k1, _ = P.phase_kernel_s2(np.asarray(c1['kernel']), pad=1)
+    out['conv_0'] = {'kernel': jnp.asarray(k0),
+                     'bias': jnp.asarray(P.tile_phase_bias(c0['bias']))}
+    out['conv_1'] = {'kernel': jnp.asarray(k1), 'bias': c1['bias']}
+    return out
+
+
 def _yolo_decode(x: jnp.ndarray, blk: Block, img_size: int) -> jnp.ndarray:
     """Decode one YOLO head: (N, g, g, 3*(5+C)) -> (N, 3*g*g, 5+C).
 
@@ -302,9 +347,13 @@ def _yolo_decode(x: jnp.ndarray, blk: Block, img_size: int) -> jnp.ndarray:
 
 
 def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
-          img_size: int, dtype=None) -> jnp.ndarray:
-    """Forward the darknet graph. x: (N, S, S, 3) in [0, 1]. Returns the
-    concatenated prediction tensor (N, total_anchors, 5 + classes)."""
+          img_size: int, dtype=None, phase_stem: bool = False) -> jnp.ndarray:
+    """Forward the darknet graph. x: (N, S, S, 3) in [0, 1] — or, with
+    ``phase_stem=True``, the (N, S/2, S/2, 12) phase tensor (ops/phase.py)
+    with ``phase_stem_params``-transformed weights: conv_0 runs phase-to-
+    phase and conv_1 exits to the standard layout (asymmetric top/left
+    pad), after which the graph is unchanged. Returns the concatenated
+    prediction tensor (N, total_anchors, 5 + classes)."""
     from simple_hrnet_tpu.models import layers as L
 
     outputs: List[jnp.ndarray] = []
@@ -313,7 +362,12 @@ def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
         t = blk['type']
         if t == 'convolutional':
             node = params[f'conv_{i}']
-            y = L.conv2d(x, node, stride=blk['stride'], padding=blk['pad'],
+            pad = blk['pad']
+            stride = blk['stride']
+            if phase_stem and i <= 1:
+                pad = (((1, 1), (1, 1)) if i == 0 else ((1, 0), (1, 0)))
+                stride = 1
+            y = L.conv2d(x, node, stride=stride, padding=pad,
                          dtype=dtype)
             if 'bn' in node:
                 y = L.batch_norm(y, node['bn'])

@@ -69,6 +69,49 @@ def letterbox_device(frames: jnp.ndarray, img_size: int, in_h: int, in_w: int
     return out / 255.0
 
 
+@partial(jax.jit, static_argnames=('img_size', 'in_h', 'in_w'))
+def letterbox_device_phase(frames: jnp.ndarray, img_size: int, in_h: int,
+                           in_w: int) -> jnp.ndarray:
+    """``letterbox_device`` emitting the (N, S/2, S/2, 12) phase tensor
+    (ops/phase.py) instead of (N, S, S, 3) — same pixel values, relayout
+    only, produced for FREE by the resize matmuls.
+
+    The grey pad is folded into the static weight matrices: rows/cols
+    outside the resized rectangle are zero rows of the (S, in) matrix plus
+    a constant grey field added in the epilogue — this handles odd pad
+    offsets (where the resized rectangle straddles a phase row) with no
+    special casing. Each interior pixel is the same 2-tap dot product as
+    ``letterbox_device``; values agree to a couple of f32 ulp (the compiler
+    may FMA-associate the differently-shaped matmul differently — pinned at
+    1e-6 in tests/test_detectors.py). Reference: YOLOv3.py:23-45.
+    """
+    from simple_hrnet_tpu.ops import image as I
+    from simple_hrnet_tpu.ops import phase as P
+
+    ratio, dw, dh, (nw, nh) = letterbox_params((in_h, in_w), img_size)
+    top = int(round(dh - 0.1))
+    left = int(round(dw - 0.1))
+
+    wy = np.zeros((img_size, in_h), np.float32)
+    wy[top:top + nh] = I._linear_weights(in_h, nh)
+    wx = np.zeros((img_size, in_w), np.float32)
+    wx[left:left + nw] = I._linear_weights(in_w, nw)
+    grey = np.full((img_size, img_size, 1), 127.5, np.float32)
+    grey[top:top + nh, left:left + nw] = 0.0
+
+    wyb = jnp.asarray(P.blocked_rows(wy))
+    wxb = jnp.asarray(P.blocked_rows(wx))
+    # grey field in the same blocked row/col layout, built at trace time
+    grey_b = np.concatenate([grey[0::2], grey[1::2]], axis=0)
+    grey_b = np.concatenate([grey_b[:, 0::2], grey_b[:, 1::2]], axis=1)
+
+    x = frames.astype(jnp.float32)
+    t = jnp.einsum('Qh,bhwc->bQwc', wyb, x)
+    u = jnp.einsum('Pw,bqwc->bqPc', wxb, t)
+    u = u + jnp.asarray(grey_b)
+    return P.phase_quadrants(u) / 255.0
+
+
 def scale_coords_params(img_size: int, shape_hw: Tuple[int, int]
                         ) -> Tuple[float, float, float]:
     """gain/pad used to map letterboxed coords back (YOLOv3.py:49-56)."""
@@ -120,7 +163,8 @@ class YOLOv3:
                  max_batch_size: int = 16,
                  max_detections: int = 32,
                  device=None,
-                 dtype=None):
+                 dtype=None,
+                 phase_stem: Optional[bool] = None):
         import os
 
         if model_def.endswith('.cfg') and os.path.exists(model_def):
@@ -140,6 +184,17 @@ class YOLOv3:
         else:
             self.params = darknet.init(jax.random.PRNGKey(0), self.blocks)
         self.params = darknet.fold_weights(self.params)
+
+        # Producer-fused space-to-depth stem (ops/phase.py): the letterbox
+        # matmuls emit the phase layout for free and conv0 runs at 12 input
+        # lanes instead of 3 — measured 2.73x on letterbox+conv0+down1
+        # (PERF.md round 4). Auto-on when the graph's stem qualifies.
+        if phase_stem is None:
+            phase_stem = darknet.stem_phaseable(self.blocks) \
+                and img_size % 2 == 0
+        self.phase_stem = bool(phase_stem)
+        if self.phase_stem:
+            self.params = darknet.phase_stem_params(self.params)
 
         if dtype == 'int8':
             # TRT-style PTQ on the detector's MXU-bound convs (the
@@ -162,12 +217,18 @@ class YOLOv3:
 
     def _quantize_int8(self, params, img_size):
         """Calibrate on a smooth synthetic letterboxed batch and quantize
-        policy-accepted convs; see models/quantize.py."""
+        policy-accepted convs; see models/quantize.py. In phase-stem mode
+        calibration runs the shipped (phase) graph — the transformed stem
+        convs fall outside the int8 policy and stay bf16."""
         from simple_hrnet_tpu.models import quantize as Q
+        from simple_hrnet_tpu.ops import phase as P
 
-        cal = Q.smooth_frames((img_size, img_size))
+        cal = np.asarray(Q.smooth_frames((img_size, img_size)))
+        if self.phase_stem:
+            cal = P.space_to_depth_host(cal)
         amax = Q.calibrate_cpu(
-            lambda p, v: darknet.apply(p, self.blocks, v, img_size),
+            lambda p, v: darknet.apply(p, self.blocks, v, img_size,
+                                       phase_stem=self.phase_stem),
             params, [cal])
         qp = Q.quantize_folded(params, amax)
         return jax.tree_util.tree_map(jnp.asarray, qp)
@@ -188,11 +249,17 @@ class YOLOv3:
         max_det = self.max_detections
         class_ids = jnp.asarray(self.class_ids)
         dtype = self.dtype
+        phase = self.phase_stem
 
         def detect(params, frames):  # frames (N, H, W, 3) RGB
             n = frames.shape[0]
-            inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
-            preds = darknet.apply(params, blocks, inp, img_size, dtype=dtype)
+            if phase:
+                inp = letterbox_device_phase(frames, img_size,
+                                             in_hw[0], in_hw[1])
+            else:
+                inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
+            preds = darknet.apply(params, blocks, inp, img_size, dtype=dtype,
+                                  phase_stem=phase)
 
             def per_image(p):  # (A, 5+C)
                 obj = p[:, 4]

@@ -108,13 +108,21 @@ def _sppf(p: Params, x, *, dtype=None):
 
 
 def apply(params: Params, cfg: dict, x: jnp.ndarray, img_size: int,
-          dtype=None) -> jnp.ndarray:
-    """Forward: (N, S, S, 3) in [0,1] -> (N, total_anchors, 5 + classes)."""
+          dtype=None, phase_stem: bool = False) -> jnp.ndarray:
+    """Forward: (N, S, S, 3) in [0,1] -> (N, total_anchors, 5 + classes).
+
+    With ``phase_stem=True``, x is the (N, S/2, S/2, 12) phase tensor
+    (ops/phase.py) and model.0 holds the ``phase_stem_params``-transformed
+    3x3 stride-1 kernel — the exact rewrite of ultralytics' 6x6 s2 stem
+    (same MAC count, 12 instead of 3 occupied MXU lanes)."""
     m = params['model']
     kw = dict(dtype=dtype)
     n3, n6, n9 = cfg['n3'], cfg['n6'], cfg['n9']
 
-    x = _conv(m['0'], x, stride=2, pad=2, **kw)                   # P1/2
+    if phase_stem:
+        x = _conv(m['0'], x, stride=1, pad=((1, 1), (1, 1)), **kw)  # P1/2
+    else:
+        x = _conv(m['0'], x, stride=2, pad=2, **kw)               # P1/2
     x = _conv(m['1'], x, stride=2, **kw)                          # P2/4
     x = _c3(m['2'], x, n=n3, **kw)
     x = _conv(m['3'], x, stride=2, **kw)                          # P3/8
@@ -293,7 +301,8 @@ class YOLOv5:
     def __init__(self, model_def: str = 'yolov5m', device=None, dtype=None,
                  conf_thres: float = 0.5, nms_thres: float = 0.45,
                  img_size: int = 640, max_detections: int = 32,
-                 max_batch_size: int = 16):
+                 max_batch_size: int = 16,
+                 phase_stem: Optional[bool] = None):
         import os
 
         variant = None
@@ -322,13 +331,26 @@ class YOLOv5:
             self.params = init(jax.random.PRNGKey(0), self.cfg)
         self.params = _fold(self.params)
 
+        # Producer-fused space-to-depth stem (ops/phase.py): the letterbox
+        # matmuls emit the phase layout for free; the 6x6 s2 stem becomes
+        # an exact 3x3 s1 conv at 12 instead of 3 MXU lanes (PERF.md r4).
+        if phase_stem is None:
+            phase_stem = stem_phaseable(self.params) and img_size % 2 == 0
+        self.phase_stem = bool(phase_stem)
+        if self.phase_stem:
+            self.params = phase_stem_params(self.params)
+
         if dtype == 'int8':
             # TRT-style PTQ (models/quantize.py), same recipe as YOLOv3:
             # calibrated int8 on the policy-accepted convs, bf16 elsewhere
             from simple_hrnet_tpu.models import quantize as Q
-            cal = Q.smooth_frames((img_size, img_size))
+            from simple_hrnet_tpu.ops import phase as P
+            cal = np.asarray(Q.smooth_frames((img_size, img_size)))
+            if self.phase_stem:
+                cal = P.space_to_depth_host(cal)
             amax = Q.calibrate_cpu(
-                lambda p, v: apply(p, self.cfg, v, img_size, dtype=None),
+                lambda p, v: apply(p, self.cfg, v, img_size, dtype=None,
+                                   phase_stem=self.phase_stem),
                 self.params, [cal])
             self.params = jax.tree_util.tree_map(
                 jnp.asarray, Q.quantize_folded(self.params, amax))
@@ -341,18 +363,24 @@ class YOLOv5:
         return self._build(in_hw, jit=False)
 
     def _build(self, in_hw, jit: bool = True):
-        from simple_hrnet_tpu.detectors.yolov3 import (letterbox_device,
-                                                       scale_coords_params)
+        from simple_hrnet_tpu.detectors.yolov3 import (
+            letterbox_device, letterbox_device_phase, scale_coords_params)
         cfg = self.cfg
         img_size = self.img_size
         conf_thres = self.conf_thres
         nms_thres = self.nms_thres
         max_det = self.max_detections
         dtype = self.dtype
+        phase = self.phase_stem
 
         def detect(params, frames):  # (N, H, W, 3) RGB
-            inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
-            preds = apply(params, cfg, inp, img_size, dtype=dtype)
+            if phase:
+                inp = letterbox_device_phase(frames, img_size,
+                                             in_hw[0], in_hw[1])
+            else:
+                inp = letterbox_device(frames, img_size, in_hw[0], in_hw[1])
+            preds = apply(params, cfg, inp, img_size, dtype=dtype,
+                          phase_stem=phase)
 
             def per_image(p):
                 obj = p[:, 4]
@@ -413,6 +441,32 @@ class YOLOv5:
 
     def detect_padded(self, frames_rgb):
         return self._detect(frames_rgb)
+
+
+def stem_phaseable(params: Params) -> bool:
+    """True when model.0 is the modern 6x6 stride-2 stem (v6.0+ — the
+    Focus-slice variants load as different trees and keep the plain path)."""
+    node = params.get('model', {}).get('0', {}).get('conv', {})
+    k = node.get('kernel')
+    return k is not None and k.shape[:3] == (6, 6, 3)
+
+
+def phase_stem_params(params: Params) -> Params:
+    """Rewrite the FOLDED model.0 6x6 s2 kernel into its exact stride-1
+    phase-space form (ops/phase.py phase_kernel_s2, pad 2 -> symmetric
+    phase pad): (6,6,3,c) -> (3,3,12,c), output already standard layout.
+    Runs before int8 quantization; the 12-lane kernel falls outside the
+    int8 policy, same as the original 3-lane one."""
+    from simple_hrnet_tpu.ops import phase as P
+
+    node = params['model']['0']['conv']
+    kp, pads = P.phase_kernel_s2(np.asarray(node['kernel']), pad=2)
+    assert pads == ((1, 1), (1, 1))
+    out = dict(params)
+    out['model'] = dict(params['model'])
+    out['model']['0'] = dict(params['model']['0'],
+                             conv=dict(node, kernel=jnp.asarray(kp)))
+    return out
 
 
 def _fold(params: Params) -> Params:

@@ -50,8 +50,10 @@ _QCAL: Optional[Dict[int, float]] = None
 # ---------------------------------------------------------------------------
 
 def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
-           padding: int = 0, dtype=None) -> jnp.ndarray:
-    """2D convolution, NHWC x HWIO -> NHWC.
+           padding=0, dtype=None) -> jnp.ndarray:
+    """2D convolution, NHWC x HWIO -> NHWC. ``padding`` is a symmetric int
+    or explicit ((top, bottom), (left, right)) pairs (the phase-stem convs
+    need asymmetric pads, ops/phase.py).
 
     ``p`` holds ``kernel`` (HWIO) and optionally ``bias`` (folded-BN convs and
     the final 1x1 layers carry a bias).
@@ -66,6 +68,8 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
     (/root/reference/scripts/export-tensorrt-model.py:41 exposes fp16 only;
     int8 is the standard TRT step beyond it).
     """
+    pad_pairs = (list(padding) if isinstance(padding, (tuple, list))
+                 else [(padding, padding), (padding, padding)])
     if 'kernel_q' in p:
         inv_s = 1.0 / p['ascale']
         vq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_s),
@@ -73,7 +77,7 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
         acc = jax.lax.conv_general_dilated(
             vq, p['kernel_q'],
             window_strides=(stride, stride),
-            padding=[(padding, padding), (padding, padding)],
+            padding=pad_pairs,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * (p['ascale'] * p['wscale'])
@@ -94,7 +98,7 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1,
     out = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
+        padding=pad_pairs,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=(jnp.promote_types(x.dtype, jnp.float32)
                                 if dtype is None else None),

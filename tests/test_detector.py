@@ -254,3 +254,90 @@ def test_full_yolov3_forward_shape():
     # fixed 10647 (YOLOv3.py:131)
     assert out.shape == (1, 6300, 85)
     assert bool(jnp.isfinite(out).all())
+
+
+# ---------------------------------------------------------------------------
+# Producer-fused space-to-depth stem (ops/phase.py, round 4)
+# ---------------------------------------------------------------------------
+
+def test_phase_kernel_transforms_exact(rng):
+    """Phase-space conv == full-res conv for both stem forms (ops/phase.py):
+    stride-1 3x3 (phase-to-phase) and stride-2 3x3 / 6x6 (exits to the
+    standard layout). Exact zero-pad-preserving rewrites, f32 on CPU."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.ops import phase as P
+
+    def conv(x, k, stride, pad):
+        pp = pad if isinstance(pad, tuple) else ((pad, pad), (pad, pad))
+        return jax.lax.conv_general_dilated(
+            x, k, (stride, stride), list(pp),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 3)), jnp.float32)
+    xp = jnp.asarray(P.space_to_depth_host(np.asarray(x)))
+
+    # stride-1 3x3: output stays phase-space
+    k = rng.standard_normal((3, 3, 3, 5)).astype(np.float32)
+    kp, pads = P.phase_kernel_s1(k, pad=1)
+    assert pads == ((1, 1), (1, 1))
+    want = P.space_to_depth_host(np.asarray(conv(x, jnp.asarray(k), 1, 1)))
+    got = np.asarray(conv(xp, jnp.asarray(kp), 1, pads))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # stride-2 3x3 pad 1 (darknet down1) and 6x6 pad 2 (yolov5 stem):
+    # output is the standard layout
+    for kh, pad in ((3, 1), (6, 2)):
+        k = rng.standard_normal((kh, kh, 3, 5)).astype(np.float32)
+        kp, pads = P.phase_kernel_s2(k, pad=pad)
+        want = np.asarray(conv(x, jnp.asarray(k), 2, pad))
+        got = np.asarray(conv(xp, jnp.asarray(kp), 1, pads))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize('in_hw', [(480, 640), (500, 640), (333, 501)])
+def test_letterbox_phase_matches_standard(rng, in_hw):
+    """letterbox_device_phase == space-to-depth(letterbox_device) to f32 ulp
+    — including geometries whose pad offset is odd (the grey border
+    straddles a phase row; the pad is folded into the resize matrices)."""
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.detectors import yolov3 as Y
+    from simple_hrnet_tpu.ops import phase as P
+
+    frames = rng.uniform(0, 255, (2, *in_hw, 3)).astype(np.float32)
+    std = np.asarray(Y.letterbox_device(jnp.asarray(frames), 416, *in_hw))
+    ph = np.asarray(Y.letterbox_device_phase(jnp.asarray(frames), 416,
+                                             *in_hw))
+    assert ph.shape == (2, 208, 208, 12)
+    np.testing.assert_allclose(ph, P.space_to_depth_host(std), atol=1e-6)
+
+
+def test_phase_stem_gating():
+    """Auto-gate: the classic yolov3 stem qualifies, tiny (conv+maxpool)
+    does not; explicit phase_stem=False wins over auto."""
+    from simple_hrnet_tpu.detectors import darknet
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    assert darknet.stem_phaseable(darknet.yolov3_blocks())
+    assert not darknet.stem_phaseable(darknet.yolov3_tiny_blocks())
+    assert not YOLOv3(model_def='yolov3-tiny').phase_stem
+    assert not YOLOv3(phase_stem=False).phase_stem
+
+
+def test_yolov3_phase_stem_detect_parity(rng):
+    """Full detect pipeline (letterbox -> darknet -> NMS -> rescale):
+    phase-stem detections match the standard stem on random weights.
+    2.73x measured on the stem chain (PERF.md round 4)."""
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    frames = rng.uniform(0, 255, (2, 480, 640, 3)).astype(np.float32)
+    det_p = YOLOv3(phase_stem=True)
+    det_s = YOLOv3(phase_stem=False)
+    assert det_p.phase_stem and not det_s.phase_stem
+    rows_p = det_p.predict(frames.copy())
+    rows_s = det_s.predict(frames.copy())
+    for a, b in zip(rows_p, rows_s):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=5e-4)

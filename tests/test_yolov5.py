@@ -107,3 +107,33 @@ def test_yolov5_adapter_contract(rng):
     # batch predict is supported (reference raises NotImplementedError)
     outs = det.predict(np.stack([frame, frame]))
     assert len(outs) == 2
+
+
+def test_yolov5_phase_stem_parity(rng):
+    """The 6x6 s2 stem rewritten as a 3x3 s1 phase conv (ops/phase.py) is
+    numerically the same network: raw prediction tensors agree to f32
+    noise and the full detect pipeline returns the same rows."""
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.detectors import yolov5 as V
+    from simple_hrnet_tpu.detectors.yolov3 import (letterbox_device,
+                                                   letterbox_device_phase)
+
+    frames = rng.uniform(0, 255, (1, 480, 640, 3)).astype(np.float32)
+    dp = V.YOLOv5('yolov5s', phase_stem=True, conf_thres=0.05)
+    ds = V.YOLOv5('yolov5s', phase_stem=False, conf_thres=0.05)
+    assert dp.phase_stem and not ds.phase_stem
+    assert dp.params['model']['0']['conv']['kernel'].shape == (3, 3, 12, 32)
+
+    fj = jnp.asarray(frames)
+    ip = letterbox_device_phase(fj, 640, 480, 640)
+    istd = letterbox_device(fj, 640, 480, 640)
+    pp = np.asarray(V.apply(dp.params, dp.cfg, ip, 640, phase_stem=True))
+    ps = np.asarray(V.apply(ds.params, ds.cfg, istd, 640))
+    np.testing.assert_allclose(pp, ps, atol=2e-3)  # coords in pixels
+
+    rows_p = dp.predict(frames.copy())
+    rows_s = ds.predict(frames.copy())
+    for a, b in zip(rows_p, rows_s):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, atol=5e-3)
