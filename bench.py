@@ -5,15 +5,28 @@ process — concurrent TPU benchmarks corrupt each other's chained
 timings, PERF.md). The LAST line is the north-star metric from
 BASELINE.json ("frames/sec/chip at W48-384x288 multi-person"):
 
-  1. HRNet-W48 384x288 bf16 b16 forward      (cross-round comparability)
-  2. HRNet-W48 384x288 int8  b32 forward      (production-best serving)
-  3. W48 384x288 b16 bf16 grouped-trunk TRAIN step (fwd+bwd+Adam+BN;
-     driver-visible training perf, VERDICT r3 item #6)
-  4. multi-person e2e fps (YOLOv3 detect -> crop -> W48 pose -> decode,
+  1. HRNet-W48 384x288 bf16 b16 forward       (cross-round comparability)
+  2. multi-person e2e fps (YOLOv3 detect -> crop -> W48 pose -> decode,
      640x480 frame, 8 people slots, one fused graph, int8)
-  5. the same pipeline batched 8 frames per launch (predict_stream's
-     batch_frames serving mode — aggregate fps, the production-best
-     multi-person config; the LAST line, i.e. the scoreboard number)
+  3. the same pipeline batched 8 frames per launch (predict_stream's
+     batch_frames serving mode — aggregate fps, production-best config)
+  4. HRNet-W48 384x288 int8  b32 forward       (production-best serving)
+  5. W48 384x288 b16 bf16 grouped-trunk TRAIN step (fwd+bwd+Adam+BN) —
+     LAST because its grouped-backward compile is by far the slowest
+     (~10 min uncached) and it is guarded by the wall-clock budget.
+Finally the north-star batched-e2e line is RE-printed so the driver's
+last-line parse always lands on the scoreboard metric.
+
+Robustness (BENCH_r04 was rc=124 with ZERO lines — never again):
+  * ``enable_compile_cache()`` at startup: driver runs re-use executables
+    compiled during the builder session instead of paying remote compiles;
+  * cheapest-to-compile metrics first, so the first JSON line lands
+    within minutes even from a cold cache;
+  * every metric is fault-isolated (one failure prints a note line and
+    moves on) and gated on a wall-clock budget (``SHT_BENCH_BUDGET``
+    seconds, default 1200): when the remaining budget can't cover a
+    metric's cold-cache estimate, it is skipped with an explicit note
+    instead of timing out with nothing on the scoreboard.
 
 The reference publishes no numbers (BASELINE.md), so baselines are
 *measured*: the reference's own torch HRNet-W48 forward on this machine's
@@ -34,6 +47,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, 'BASELINE_MEASURED.json')
+T0 = time.monotonic()
+BUDGET = float(os.environ.get('SHT_BENCH_BUDGET', '1200'))
+
+
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - T0)
 
 BATCH = 16
 RES = (384, 288)
@@ -162,8 +181,9 @@ def measure_train_step():
     return BATCH / t
 
 
-def measure_w48_forward():
-    """On-chip W48 grouped-trunk throughput, bf16 b16 and int8 b32.
+def make_w48_forward_thunks():
+    """On-chip W48 grouped-trunk throughput, bf16 b16 and int8 b32, as
+    two separately-timeable thunks sharing one param setup.
 
     All timing via lax.scan-chained forwards (the TPU sits behind a
     high-latency relay where per-call host timing — even
@@ -196,9 +216,9 @@ def measure_w48_forward():
                                                     dtype=jnp.bfloat16)
     x16 = jnp.asarray(rng.standard_normal((16, *RES, 3)), jnp.float32)
     x32 = jnp.asarray(rng.standard_normal((32, *RES, 3)), jnp.float32)
-    t_bf16 = device_timer(fwd, x16, params, packed, **T)
-    t_int8 = device_timer(fwd, x32, params_q, packed_q, **T)
-    return 16 / t_bf16, 32 / t_int8
+    bf16 = lambda: 16 / device_timer(fwd, x16, params, packed, **T)
+    int8 = lambda: 32 / device_timer(fwd, x32, params_q, packed_q, **T)
+    return bf16, int8
 
 
 def measure_multiperson_fps():
@@ -240,46 +260,84 @@ def measure_multiperson_fps():
     return 1.0 / t1, nb / tb
 
 
+def emit(metric, value, unit, vs):
+    line = {'metric': metric, 'value': round(value, 2), 'unit': unit,
+            'vs_baseline': round(vs, 2)}
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def main():
+    from simple_hrnet_tpu import enable_compile_cache
+    enable_compile_cache()
+
     baseline = torch_cpu_fps()
-    bf16, int8 = measure_w48_forward()
-    print(json.dumps({
-        'metric': 'HRNet-W48 384x288 pose forward throughput (bf16, b16)',
-        'value': round(bf16, 2),
-        'unit': 'img/s/chip',
-        'vs_baseline': round(bf16 / baseline, 2),
-    }), flush=True)
-    print(json.dumps({
-        'metric': 'HRNet-W48 384x288 pose forward throughput (int8, b32)',
-        'value': round(int8, 2),
-        'unit': 'img/s/chip',
-        'vs_baseline': round(int8 / baseline, 2),
-    }), flush=True)
-    train = measure_train_step()
-    print(json.dumps({
-        'metric': 'HRNet-W48 384x288 TRAIN step (bf16 mixed, b16, grouped '
-                  'trunk, fwd+bwd+Adam+BN)',
-        'value': round(train, 2),
-        'unit': 'img/s/chip',
-        'vs_baseline': round(train / torch_cpu_train_fps(), 2),
-    }), flush=True)
-    mp, mp_b8 = measure_multiperson_fps()
-    # generous-to-reference denominator: torch-CPU pose forward alone at
-    # 8 crops/frame (its detector + host crop loop would only slow it)
-    print(json.dumps({
-        'metric': 'W48-384x288 multi-person e2e (YOLOv3 detect+crop+pose'
-                  '+decode, fused, int8)',
-        'value': round(mp, 2),
-        'unit': 'frames/s/chip',
-        'vs_baseline': round(mp / (baseline / MP_SLOTS), 2),
-    }), flush=True)
-    print(json.dumps({
-        'metric': 'W48-384x288 multi-person e2e, 8-frame batched serving '
-                  '(predict_stream batch_frames=8, fused, int8)',
-        'value': round(mp_b8, 2),
-        'unit': 'frames/s/chip',
-        'vs_baseline': round(mp_b8 / (baseline / MP_SLOTS), 2),
-    }), flush=True)
+    north_star = None          # re-printed last for the driver's parser
+
+    def guarded(name, est_cold, thunk):
+        """Run one metric unless the remaining budget can't cover its
+        cold-cache estimate; fault-isolate so one failure can't blank
+        the rest of the scoreboard."""
+        if remaining() < est_cold:
+            print(json.dumps({
+                'note': f'skipped "{name}": {remaining():.0f}s left < '
+                        f'{est_cold:.0f}s cold-cache estimate '
+                        f'(SHT_BENCH_BUDGET={BUDGET:.0f})'}), flush=True)
+            return False
+        try:
+            thunk()
+            return True
+        except Exception as e:  # pragma: no cover - defensive
+            print(json.dumps({'note': f'metric "{name}" failed: '
+                                      f'{type(e).__name__}: {e}'}),
+                  flush=True)
+            return False
+
+    state = {}
+
+    # cheapest compile first: bf16 forward (~2-3 min cold). Then the
+    # north-star e2e graphs, then int8, then the slow train compile.
+    def run_forward_setup_and_bf16():
+        state['bf16_thunk'], state['int8_thunk'] = make_w48_forward_thunks()
+        v = state['bf16_thunk']()
+        emit('HRNet-W48 384x288 pose forward throughput (bf16, b16)',
+             v, 'img/s/chip', v / baseline)
+
+    def run_multiperson():
+        nonlocal north_star
+        mp, mp_b8 = measure_multiperson_fps()
+        # generous-to-reference denominator: torch-CPU pose forward alone
+        # at 8 crops/frame (its detector + host crop loop only slows it)
+        emit('W48-384x288 multi-person e2e (YOLOv3 detect+crop+pose'
+             '+decode, fused, int8)',
+             mp, 'frames/s/chip', mp / (baseline / MP_SLOTS))
+        north_star = emit(
+            'W48-384x288 multi-person e2e, 8-frame batched serving '
+            '(predict_stream batch_frames=8, fused, int8)',
+            mp_b8, 'frames/s/chip', mp_b8 / (baseline / MP_SLOTS))
+
+    def run_int8():
+        v = state['int8_thunk']()
+        emit('HRNet-W48 384x288 pose forward throughput (int8, b32)',
+             v, 'img/s/chip', v / baseline)
+
+    def run_train():
+        v = measure_train_step()
+        emit('HRNet-W48 384x288 TRAIN step (bf16 mixed, b16, grouped '
+             'trunk, fwd+bwd+Adam+BN)',
+             v, 'img/s/chip', v / torch_cpu_train_fps())
+
+    try:
+        guarded('bf16 forward', 240, run_forward_setup_and_bf16)
+        guarded('multi-person e2e', 420, run_multiperson)
+        if 'int8_thunk' in state:
+            guarded('int8 forward', 180, run_int8)
+        guarded('train step', 660, run_train)
+    finally:
+        if north_star is not None:
+            # the driver parses the LAST json line; make sure it is the
+            # scoreboard metric even after skips/failures above
+            print(json.dumps(north_star), flush=True)
 
 
 if __name__ == '__main__':

@@ -13,7 +13,7 @@
 //                             float* dst, int oh, int ow);
 //   int  decode_warp_normalize(const uint8_t* jpeg, int len,
 //                              const float* m_inv, int oh, int ow,
-//                              const float* mean, const float* std_,
+//                              const float* mean255, const float* scale,
 //                              float* out);  // (oh, ow, 3) float32
 //
 // Interpolation is bilinear with constant-0 border (cv2.INTER_LINEAR +
@@ -124,24 +124,23 @@ void warp_affine_bilinear(const float* src, int h, int w, const float* m_inv,
   }
 }
 
-// Fused: JPEG -> RGB -> warp -> (x/255 - mean)*(1/std). out is (oh, ow, 3)
-// f32. The normalize multiplies by a PRE-DIVIDED reciprocal rather than
-// dividing per pixel: a single f32 division 1/std matches numpy's
-// np.float32(1)/STD bit-for-bit, and mul-by-constant is never
-// strength-reduced (XLA rewrites x/const into x*(1/const) inside jit, so
-// the whole framework standardizes on the multiply form — see
-// data/coco.py IMAGENET_INV_STD and train/steps.py:_batch_inputs).
+// Fused: JPEG -> RGB -> warp -> (x_255 - mean255)*scale. out is
+// (oh, ow, 3) f32. The caller passes the framework's shared pre-merged
+// f32 constants (ops/image.py MEAN255 / INV255_STD): subtract-then-
+// multiply is the ONE normalize convention every subsystem uses because
+// it is immune to both XLA's x/const strength reduction and to FMA
+// contraction (a*b - c fuses into one rounding under both XLA and C
+// -ffp-contract, while sub-then-mul cannot fuse) — so host numpy, this
+// kernel, and in-graph jit agree bitwise
+// (tests/test_normalize_convention.py). mean255 = 0, scale = 1 emits the
+// raw warp accumulator (device_targets mode raw tail).
 int decode_warp_normalize(const uint8_t* jpeg, int len, const float* m_inv,
-                          int oh, int ow, const float* mean,
-                          const float* std_, float* out) {
+                          int oh, int ow, const float* mean255,
+                          const float* scale, float* out) {
   int w = 0, h = 0;
   if (jpeg_dims(jpeg, len, &w, &h) != 0) return -1;
   std::vector<uint8_t> rgb(static_cast<size_t>(w) * h * 3);
   if (jpeg_decode_rgb(jpeg, len, rgb.data()) != 0) return -1;
-
-  // warp directly from uint8 with inline normalize
-  const float inv255 = 1.0f / 255.0f;
-  const float istd[3] = {1.0f / std_[0], 1.0f / std_[1], 1.0f / std_[2]};
   for (int y = 0; y < oh; ++y) {
     for (int x = 0; x < ow; ++x) {
       const float sx = m_inv[0] * x + m_inv[1] * y + m_inv[2];
@@ -166,9 +165,9 @@ int decode_warp_normalize(const uint8_t* jpeg, int len, const float* m_inv,
         }
       }
       float* o = out + (static_cast<size_t>(y) * ow + x) * 3;
-      o[0] = (acc[0] * inv255 - mean[0]) * istd[0];
-      o[1] = (acc[1] * inv255 - mean[1]) * istd[1];
-      o[2] = (acc[2] * inv255 - mean[2]) * istd[2];
+      o[0] = (acc[0] - mean255[0]) * scale[0];
+      o[1] = (acc[1] - mean255[1]) * scale[1];
+      o[2] = (acc[2] - mean255[2]) * scale[2];
     }
   }
   return 0;

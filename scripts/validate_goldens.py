@@ -178,7 +178,12 @@ def int8_delta_report(ckpt48, is_random, results, coco_val_dir, tmpdir):
           f"ap={entry.get('coco_ap', 'n/a (--coco-val not given)')}")
 
 
-def run(weights_dir, image_path, out_path, coco_val_dir=None):
+def run(weights_dir, image_path, out_path, coco_val_dir=None, only=None,
+        fps_n=10):
+    """Execute the golden configs. ``only`` restricts to a subset of
+    config names (the suite's quick-tier smoke runs just
+    'w32_256x192_single' — tests/test_validate_goldens.py); ``fps_n``
+    sets the wall-clock fps iteration count."""
     import torch
     import jax.numpy as jnp
     from simple_hrnet_tpu import SimpleHRNet
@@ -197,8 +202,13 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None):
                'configs': {}}
     tmpdir = tempfile.mkdtemp(prefix='goldens_')
 
+    def wanted(name):
+        return only is None or name in only
+
     def compare_single(name, kind, resolution, batch):
         """Single-person configs: our facade heatmaps vs torch reference."""
+        if not wanted(name):
+            return
         tm, ckpt_path, is_random = _torch_model(
             kind, _find_weight(weights_dir, kind), tmpdir)
         c = int(kind[1:]) if kind.startswith('w') else 50
@@ -213,9 +223,9 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None):
         if pts.ndim == 4:      # batched single-person: (n, 1, J, 3)
             pts = pts[:, 0]
         if batch > 1:
-            fps = _fps(lambda: facade.predict(frames)) * batch
+            fps = _fps(lambda: facade.predict(frames), n=fps_n) * batch
         else:
-            fps = _fps(lambda: facade.predict(frames))
+            fps = _fps(lambda: facade.predict(frames), n=fps_n)
 
         # torch reference forward on the identically-preprocessed frame
         import cv2
@@ -248,6 +258,9 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None):
     compare_single('w48_384x288_batch16', 'w48', (384, 288), 16)
 
     # 4. Multi-person: YOLOv3-tiny -> padded crops -> HRNet-W32 + decode
+    if not wanted('multiperson_yolov3tiny_w32'):
+        _finish(results, out_path)
+        return results
     tm, ckpt_path, is_random = _torch_model(
         'w32', _find_weight(weights_dir, 'w32'), tmpdir)
     yolo_w = _find_weight(weights_dir, 'yolov3-tiny')
@@ -256,7 +269,7 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None):
                          yolo_weights_path=yolo_w,
                          return_bounding_boxes=True)
     boxes, pts = facade.predict(frame)
-    fps = _fps(lambda: facade.predict(frame))
+    fps = _fps(lambda: facade.predict(frame), n=fps_n)
     results['configs']['multiperson_yolov3tiny_w32'] = {
         'random_weights': is_random or yolo_w is None,
         'people_detected': int(np.asarray(pts).shape[0]),
@@ -269,28 +282,35 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None):
     # 5. End-to-end video: YOLOv5 + HRNet-W48 (extract-keypoints path)
     tm, ckpt48, rnd48 = _torch_model(
         'w48', _find_weight(weights_dir, 'w48'), tmpdir)
-    y5 = _find_weight(weights_dir, 'yolov5')
-    facade = SimpleHRNet(48, 17, ckpt48, resolution=(384, 288),
-                         multiperson=True, yolo_version='v5',
-                         yolo_model_def=y5 or 'yolov5m')
-    video = [rng.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
-             for _ in range(8)]
-    t0 = time.perf_counter()
-    outs = list(facade.predict_stream(video, max_people=8))
-    video_fps = len(video) / (time.perf_counter() - t0)
-    results['configs']['video_yolov5_w48'] = {
-        'random_weights': rnd48 or y5 is None,
-        'frames': len(outs),
-        'people_per_frame': [int(np.asarray(o).shape[0]) for o in outs],
-        'fps_wall': round(video_fps, 2),
-    }
-    print(f'[video] frames={len(outs)} fps={video_fps:.1f}')
+    if wanted('video_yolov5_w48'):
+        y5 = _find_weight(weights_dir, 'yolov5')
+        facade = SimpleHRNet(48, 17, ckpt48, resolution=(384, 288),
+                             multiperson=True, yolo_version='v5',
+                             yolo_model_def=y5 or 'yolov5m')
+        video = [rng.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
+                 for _ in range(8)]
+        t0 = time.perf_counter()
+        outs = list(facade.predict_stream(video, max_people=8))
+        video_fps = len(video) / (time.perf_counter() - t0)
+        results['configs']['video_yolov5_w48'] = {
+            'random_weights': rnd48 or y5 is None,
+            'frames': len(outs),
+            'people_per_frame': [int(np.asarray(o).shape[0]) for o in outs],
+            'fps_wall': round(video_fps, 2),
+        }
+        print(f'[video] frames={len(outs)} fps={video_fps:.1f}')
 
     # 6. int8 PTQ accuracy delta vs bf16 (VERDICT r3 #8: the scoreboard's
     # headline configs are int8; this quantifies their accuracy cost the
     # day real weights land — and the keypoint-level deltas already today)
-    int8_delta_report(ckpt48, rnd48, results, coco_val_dir, tmpdir)
+    if wanted('int8_vs_bf16_w48'):
+        int8_delta_report(ckpt48, rnd48, results, coco_val_dir, tmpdir)
 
+    _finish(results, out_path)
+    return results
+
+
+def _finish(results, out_path):
     any_random = any(v.get('random_weights') for v in
                      results['configs'].values())
     results['all_real_weights'] = not any_random
@@ -300,7 +320,6 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None):
     if not any_random:
         print('NOTE: copy results into BASELINE.json "published" after '
               'reviewing the 1e-3 gate.')
-    return results
 
 
 if __name__ == '__main__':

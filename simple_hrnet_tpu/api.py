@@ -342,8 +342,11 @@ class SimpleHRNet:
                 for im in self.calibration_images])
         else:
             imgs = Q.smooth_frames(self.resolution, n=2, lo=0.0, hi=255.0)
-        batch = ((imgs / 255.0 - np.asarray(I.IMAGENET_MEAN))
-                 / np.asarray(I.IMAGENET_STD)).astype(np.float32)
+        # same subtract-then-multiply convention as the serving graph's
+        # I.normalize (ops/image.py), so calibration sees the exact
+        # activation distribution inference will
+        batch = ((imgs.astype(np.float32) - I.MEAN255)
+                 * I.INV255_STD).astype(np.float32)
         # calibrate_cpu converts leaves to numpy IN PLACE (amax is keyed by
         # node-dict identity, which pack/quantize re-use) and runs the
         # eager pass on the CPU backend; __init__ re-devices the final

@@ -31,20 +31,19 @@ from simple_hrnet_tpu.data.coco_io import COCOAnnotations
 from simple_hrnet_tpu.ops import affine
 from simple_hrnet_tpu.ops import nms as nms_ops
 
-IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
-# The normalize is written as (x - mean) * inv_std everywhere (host numpy,
-# native C++, in-graph jit) rather than a division: XLA strength-reduces
-# x / const into x * (1/const), so a division on the host and a division
-# in-graph produce DIFFERENT bits (1-2 ulp), which amplifies to ~7e-4
-# through the conv stack. One shared f32 reciprocal makes the host
-# pipeline and the device_targets in-graph normalize bit-identical.
-IMAGENET_INV_STD = (np.float32(1.0) / IMAGENET_STD).astype(np.float32)
-# device_targets mode: the host emits the raw [0, 1] warp (normalize runs
-# in-graph); mean 0 / std 1 makes the fused native kernel produce exactly
-# the acc*inv255 intermediate the normalized path would have computed.
+# Canonical normalize constants live in ops/image.py (shared f32
+# constants, subtract-then-multiply convention; see the FMA/strength-
+# reduction note there). Re-exported here because the train/eval stack
+# historically imports them from data.coco.
+from simple_hrnet_tpu.ops.image import (IMAGENET_INV_STD,  # noqa: F401
+                                        IMAGENET_MEAN, IMAGENET_STD, INV255,
+                                        INV255_STD, MEAN255)
+# device_targets mode: the host emits the RAW [0, 255] warp (normalize
+# runs in-graph); mean 0 / scale 1 makes the fused native kernel emit its
+# warp accumulator exactly, so the in-graph (x - MEAN255) * INV255_STD is
+# bit-identical to the one-shot host chain per decode path.
 _RAW_MEAN = np.zeros(3, np.float32)
-_RAW_STD = np.ones(3, np.float32)
+_RAW_SCALE = np.ones(3, np.float32)
 
 
 def fliplr_joints(joints, joints_vis, width, matched_parts):
@@ -107,10 +106,10 @@ class COCODataset(HumanPoseEstimationDataset):
                     'built (cd native && make)')
         self.use_native_decode = use_native_decode
         # device_targets: __getitem__ stops at the warp — it returns the
-        # image in [0, 1] plus the transformed joints, and the jitted train
-        # step runs ImageNet normalize + gaussian target generation in-graph
-        # (train/steps.py:_batch_inputs). Cuts host work and host->device
-        # bytes; numerics are bit-identical per decode path.
+        # RAW [0, 255] image plus the transformed joints, and the jitted
+        # train step runs ImageNet normalize + gaussian target generation
+        # in-graph (train/steps.py:_batch_inputs). Cuts host work and
+        # host->device bytes; numerics are bit-identical per decode path.
         self.device_targets = device_targets
 
         self.data_path = os.path.join(root_path, data_version)
@@ -277,11 +276,11 @@ class COCODataset(HumanPoseEstimationDataset):
                     np.asarray([-m_inv[0, 0], -m_inv[0, 1],
                                 fused_hw[0] - 1 - m_inv[0, 2]], np.float32),
                     m_inv[1].astype(np.float32)])
-            mean, std = (_RAW_MEAN, _RAW_STD) if self.device_targets \
-                else (IMAGENET_MEAN, IMAGENET_STD)
+            mean, scale = (_RAW_MEAN, _RAW_SCALE) if self.device_targets \
+                else (MEAN255, INV255_STD)
             image = native_img.decode_warp_normalize(
                 jpeg_bytes, m_inv, int(self.image_size[1]),
-                int(self.image_size[0]), mean, std)
+                int(self.image_size[0]), mean, scale)
             if image is None:
                 raise ValueError('Fail to read %s' % joints_data['imgPath'])
         else:
@@ -290,12 +289,11 @@ class COCODataset(HumanPoseEstimationDataset):
                 (int(self.image_size[0]), int(self.image_size[1])),
                 flags=cv2.INTER_LINEAR)
             if self.device_targets:
-                # the in-graph normalize subtracts mean/std from THIS
-                # intermediate — bit-identical to the one-shot host chain
-                image = image.astype(np.float32) / 255.0
+                # the in-graph (x - MEAN255) * INV255_STD consumes THIS
+                # raw tail — bit-identical to the one-shot host chain
+                image = image.astype(np.float32)
             else:
-                image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                         * IMAGENET_INV_STD)
+                image = ((image.astype(np.float32) - MEAN255) * INV255_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:

@@ -34,8 +34,7 @@ import numpy as np
 
 from simple_hrnet_tpu.data import target as target_gen
 from simple_hrnet_tpu.data.base import HumanPoseEstimationDataset
-from simple_hrnet_tpu.data.coco import (IMAGENET_INV_STD, IMAGENET_MEAN,
-                                        fliplr_joints)
+from simple_hrnet_tpu.data.coco import INV255_STD, MEAN255, fliplr_joints
 from simple_hrnet_tpu.ops import affine
 
 # joint order (official MPII): 0-r_ankle 1-r_knee 2-r_hip 3-l_hip 4-l_knee
@@ -177,10 +176,10 @@ class MPIIDataset(HumanPoseEstimationDataset):
             (int(self.image_size[0]), int(self.image_size[1])),
             flags=cv2.INTER_LINEAR)
         if self.device_targets:
-            image = image.astype(np.float32) / 255.0
+            # raw [0, 255] tail; normalize runs in-graph (ops/image.py)
+            image = image.astype(np.float32)
         else:
-            image = ((image.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                     * IMAGENET_INV_STD)
+            image = ((image.astype(np.float32) - MEAN255) * INV255_STD)
 
         for i in range(self.nof_joints):
             if joints_vis[i, 0] > 0.:

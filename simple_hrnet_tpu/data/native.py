@@ -97,15 +97,20 @@ def warp_affine(src: np.ndarray, m_inv: np.ndarray, oh: int, ow: int
 
 
 def decode_warp_normalize(data: bytes, m_inv: np.ndarray, oh: int, ow: int,
-                          mean, std) -> Optional[np.ndarray]:
-    """Fused JPEG -> warp -> (x/255 - mean)/std. Returns (oh, ow, 3) f32."""
+                          mean255, scale) -> Optional[np.ndarray]:
+    """Fused JPEG -> warp -> (x_255 - mean255) * scale; (oh, ow, 3) f32.
+
+    Callers pass the shared pre-merged constants (ops/image.py MEAN255 /
+    INV255_STD) for the ImageNet normalize, or (0, 1) for the raw
+    device_targets tail — see the convention note in ops/image.py."""
     lib = _load()
     buf = np.frombuffer(data, np.uint8)
     m = np.ascontiguousarray(m_inv, np.float32).reshape(6)
-    mean = np.ascontiguousarray(mean, np.float32)
-    std = np.ascontiguousarray(std, np.float32)
+    mean255 = np.ascontiguousarray(mean255, np.float32)
+    scale = np.ascontiguousarray(scale, np.float32)
     out = np.empty((oh, ow, 3), np.float32)
     if lib.decode_warp_normalize(_u8p(buf), len(data), _f32p(m), oh, ow,
-                                 _f32p(mean), _f32p(std), _f32p(out)) != 0:
+                                 _f32p(mean255), _f32p(scale),
+                                 _f32p(out)) != 0:
         return None
     return out

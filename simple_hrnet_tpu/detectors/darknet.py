@@ -277,18 +277,24 @@ def fold_weights(params: Params) -> Params:
 
 
 def stem_phaseable(blocks: List[Block]) -> bool:
-    """True when the first two blocks are the classic darknet stem — a
-    stride-1 3x3 conv followed by a stride-2 3x3 downsample — and no later
-    block routes back to block 0 (whose output would be in phase layout
-    under the space-to-depth stem, ops/phase.py). YOLOv3 proper qualifies;
-    tiny (conv + maxpool) does not."""
+    """True when the first two blocks are a phaseable darknet stem — a
+    stride-1 3x3 conv followed by EITHER a stride-2 3x3 downsample conv
+    (yolov3 proper) or a 2x2 stride-2 maxpool (yolov3-tiny; a 2x2 s2
+    maxpool in phase space is an elementwise max over the 4 phase channel
+    blocks — exact, PERF.md round 5) — and no later block routes back to
+    block 0 (whose output would be in phase layout under the
+    space-to-depth stem, ops/phase.py)."""
     if len(blocks) < 2:
         return False
     b0, b1 = blocks[0], blocks[1]
     if not (b0['type'] == 'convolutional' and b0['size'] == 3
-            and b0['stride'] == 1 and b0['pad'] == 1
-            and b1['type'] == 'convolutional' and b1['size'] == 3
-            and b1['stride'] == 2 and b1['pad'] == 1):
+            and b0['stride'] == 1 and b0['pad'] == 1):
+        return False
+    down_conv = (b1['type'] == 'convolutional' and b1['size'] == 3
+                 and b1['stride'] == 2 and b1['pad'] == 1)
+    down_pool = (b1['type'] == 'maxpool' and b1['size'] == 2
+                 and b1['stride'] == 2)
+    if not (down_conv or down_pool):
         return False
     for i, blk in enumerate(blocks):
         if blk['type'] == 'shortcut' and i + blk['from'] == 0:
@@ -299,25 +305,47 @@ def stem_phaseable(blocks: List[Block]) -> bool:
     return True
 
 
-def phase_stem_params(params: Params) -> Params:
-    """Rewrite FOLDED conv_0/conv_1 into their exact phase-space forms
+def phase_stem_params(params: Params, blocks: List[Block] = None) -> Params:
+    """Rewrite the FOLDED stem convs into their exact phase-space forms
     (ops/phase.py): conv_0 (3,3,ci,co) -> (3,3,4ci,4co) with a 4-tiled
-    bias (phase-space output), conv_1 (3,3,co,c1) -> (2,2,4co,c1) whose
-    output is the standard layout. Must run BEFORE int8 quantization so
-    calibration sees the shipped kernels (both transformed convs fall
-    outside the int8 policy and run bf16, the measured-fastest form)."""
+    bias (phase-space output); and, for the conv+conv stem, conv_1
+    (3,3,co,c1) -> (2,2,4co,c1) whose output is the standard layout (the
+    conv+maxpool stem exits phase space via the block-max in ``apply``
+    instead — no conv_1 rewrite). Must run BEFORE int8 quantization so
+    calibration sees the shipped kernels (the transformed convs fall
+    outside the int8 policy and run bf16, the measured-fastest form).
+
+    Pass ``blocks`` to validate the graph actually qualifies
+    (``stem_phaseable``) — an explicit ``phase_stem=True`` on a custom
+    non-3x3/pad-1 stem fails loudly here instead of producing silently
+    wrong numerics."""
     from simple_hrnet_tpu.ops import phase as P
 
+    if blocks is not None and not stem_phaseable(blocks):
+        raise ValueError(
+            'phase_stem requested but the graph stem does not qualify '
+            '(need conv 3x3 s1 pad1 -> conv 3x3 s2 pad1 | maxpool 2x2 s2, '
+            'with no later route/shortcut back to block 0)')
+    pool_stem = blocks is not None and blocks[1]['type'] == 'maxpool'
+    if 'conv_0' not in params or (not pool_stem and 'conv_1' not in params):
+        raise ValueError('phase_stem_params needs conv_0 (+ conv_1 for the '
+                         'conv+conv stem); pass blocks= for maxpool stems')
     out = dict(params)
-    c0, c1 = params['conv_0'], params['conv_1']
-    if 'bn' in c0 or 'bn' in c1 or 'kernel_q' in c0 or 'kernel_q' in c1:
-        raise ValueError('phase_stem_params expects folded, unquantized '
-                         'conv_0/conv_1')
+    c0 = params['conv_0']
+    c1 = None if pool_stem else params['conv_1']
+    for node in filter(None, (c0, c1)):
+        if 'bn' in node or 'kernel_q' in node:
+            raise ValueError('phase_stem_params expects folded, '
+                             'unquantized stem convs')
+        if np.asarray(node['kernel']).shape[:2] != (3, 3):
+            raise ValueError('phase_stem_params expects 3x3 stem kernels, '
+                             f"got {np.asarray(node['kernel']).shape}")
     k0, _ = P.phase_kernel_s1(np.asarray(c0['kernel']), pad=1)
-    k1, _ = P.phase_kernel_s2(np.asarray(c1['kernel']), pad=1)
     out['conv_0'] = {'kernel': jnp.asarray(k0),
                      'bias': jnp.asarray(P.tile_phase_bias(c0['bias']))}
-    out['conv_1'] = {'kernel': jnp.asarray(k1), 'bias': c1['bias']}
+    if c1 is not None:
+        k1, _ = P.phase_kernel_s2(np.asarray(c1['kernel']), pad=1)
+        out['conv_1'] = {'kernel': jnp.asarray(k1), 'bias': c1['bias']}
     return out
 
 
@@ -365,7 +393,12 @@ def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
             pad = blk['pad']
             stride = blk['stride']
             if phase_stem and i <= 1:
-                pad = (((1, 1), (1, 1)) if i == 0 else ((1, 0), (1, 0)))
+                # paddings come from the kernel rewrite itself
+                # (phase_paddings derives them from phase_kernel_s1/s2)
+                from simple_hrnet_tpu.ops import phase as P
+                s1p, s2p = P.phase_paddings(blk['size'], blk['size'],
+                                            blk['pad'])
+                pad = s1p if i == 0 else s2p
                 stride = 1
             y = L.conv2d(x, node, stride=stride, padding=pad,
                          dtype=dtype)
@@ -382,7 +415,17 @@ def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
         elif t == 'upsample':
             x = L.upsample_nearest(x, blk['stride'])
         elif t == 'maxpool':
-            if blk['stride'] == 1:
+            if phase_stem and i == 1:
+                # phase-space 2x2 s2 maxpool: the 4 phase channel blocks
+                # of a position ARE its 2x2 full-res window, so the pool
+                # is an elementwise max over 4 contiguous lane slices —
+                # exits phase space to the standard (S/2, S/2, C) layout
+                # (exact; tests/test_detector.py tiny phase parity)
+                c4 = x.shape[-1] // 4
+                q = [x[..., k * c4:(k + 1) * c4] for k in range(4)]
+                x = jnp.maximum(jnp.maximum(q[0], q[1]),
+                                jnp.maximum(q[2], q[3]))
+            elif blk['stride'] == 1:
                 # darknet 'same' maxpool (tiny): pad right/bottom
                 x = jax.lax.reduce_window(
                     x, -jnp.inf, jax.lax.max,

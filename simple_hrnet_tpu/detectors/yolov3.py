@@ -83,7 +83,7 @@ def letterbox_device_phase(frames: jnp.ndarray, img_size: int, in_h: int,
     special casing. Each interior pixel is the same 2-tap dot product as
     ``letterbox_device``; values agree to a couple of f32 ulp (the compiler
     may FMA-associate the differently-shaped matmul differently — pinned at
-    1e-6 in tests/test_detectors.py). Reference: YOLOv3.py:23-45.
+    1e-6 in tests/test_detector.py). Reference: YOLOv3.py:23-45.
     """
     from simple_hrnet_tpu.ops import image as I
     from simple_hrnet_tpu.ops import phase as P
@@ -188,13 +188,22 @@ class YOLOv3:
         # Producer-fused space-to-depth stem (ops/phase.py): the letterbox
         # matmuls emit the phase layout for free and conv0 runs at 12 input
         # lanes instead of 3 — measured 2.73x on letterbox+conv0+down1
-        # (PERF.md round 4). Auto-on when the graph's stem qualifies.
+        # (PERF.md round 4/5). Auto-on when the graph's stem qualifies.
+        # Under dtype='int8' the transformed conv_1 (2,2,128,64) falls
+        # outside the quantize policy and runs bf16 (one fewer node
+        # quantized than the plain stem — tests/test_quantize.py
+        # test_yolov3_int8_phase_stem); the phase chain is the measured
+        # net win either way.
         if phase_stem is None:
             phase_stem = darknet.stem_phaseable(self.blocks) \
                 and img_size % 2 == 0
         self.phase_stem = bool(phase_stem)
         if self.phase_stem:
-            self.params = darknet.phase_stem_params(self.params)
+            if img_size % 2:
+                raise ValueError('phase_stem needs an even img_size '
+                                 f'(got {img_size})')
+            self.params = darknet.phase_stem_params(self.params,
+                                                    self.blocks)
 
         if dtype == 'int8':
             # TRT-style PTQ on the detector's MXU-bound convs (the

@@ -15,17 +15,40 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# ImageNet statistics (reference SimpleHRNet.py:152, 171).
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
+# ImageNet statistics (reference SimpleHRNet.py:152, 171) — the ONE
+# canonical definition; data/coco.py re-exports these.
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+IMAGENET_INV_STD = (np.float32(1.0) / IMAGENET_STD).astype(np.float32)
+INV255 = np.float32(1.0) / np.float32(255.0)
+# The framework-wide normalize convention is
+#     (x_255 - MEAN255) * INV255_STD        [x_255 = RGB in 0..255 f32]
+# — algebraically (x/255 - mean)/std, but restructured so EVERY backend
+# produces the same bits:
+#   * never a division: XLA strength-reduces x / const into x * (1/const)
+#     with its own reciprocal, so host and in-graph divisions differ by
+#     1-2 ulp, which amplifies to ~7e-4 through the conv stack
+#     (root-caused in tests/diag_devt.py, round 4);
+#   * never multiply-then-subtract: XLA and C compilers FMA-contract
+#     a*b - c into fma(a, b, -c) (one rounding), while numpy rounds
+#     twice — observed 5e-7 drift. Subtract-then-multiply cannot be
+#     contracted, so host numpy, native C++ (imgproc.cpp) and jit agree
+#     bitwise (tests/test_normalize_convention.py).
+# The merged constants are each a single f32 rounding, shared everywhere.
+MEAN255 = (IMAGENET_MEAN * np.float32(255.0)).astype(np.float32)
+INV255_STD = (INV255 * IMAGENET_INV_STD).astype(np.float32)
 
 
-def normalize(x: jnp.ndarray, *, scale: float = 1.0 / 255.0) -> jnp.ndarray:
-    """uint8/float [0,255] HWC/NHWC RGB -> ImageNet-normalized float32."""
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    return (x.astype(jnp.float32) * scale - mean) / std
+def normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [0,255] HWC/NHWC RGB -> ImageNet-normalized float32.
+
+    Subtract-then-multiply with the shared f32 constants (see module
+    comment) so the fused serving path is bitwise-identical to the
+    train/eval host pipeline's normalize."""
+    return ((x.astype(jnp.float32) - jnp.asarray(MEAN255))
+            * jnp.asarray(INV255_STD))
 
 
 def _bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,

@@ -18,7 +18,7 @@ Phase layout convention: channel block (a*2+b)*C:(a*2+b+1)*C of the
 over (row parity a, column parity b).
 
 Kernel transforms below are EXACT (zero-pad-preserving) rewrites of the
-full-resolution convolution; parity is pinned in tests/test_detectors.py
+full-resolution convolution; parity is pinned in tests/test_detector.py
 and was verified at 2.8e-7 f32 rel on the real chip. Reference anchor:
 the cv2-letterbox + darknet conv0 chain these replace,
 /root/reference/models_/detectors/YOLOv3.py:23-45 and the first
@@ -85,6 +85,17 @@ def phase_kernel_s2(k: np.ndarray, pad: int = 1) -> Tuple[np.ndarray, Padding]:
             kp[s - smin, t - tmin,
                (a * 2 + b) * ci:(a * 2 + b + 1) * ci] = k[dy, dx]
     return kp, ((-smin, th - 1 + smin), (-tmin, tw - 1 + tmin))
+
+
+def phase_paddings(kh: int, kw: int, pad: int) -> Tuple[Padding, Padding]:
+    """The (stride-1, stride-2) conv paddings matching what
+    ``phase_kernel_s1/s2(k, pad)`` return for a (kh, kw) kernel — derived
+    from the transforms themselves so consumers (detectors/darknet.py
+    apply) can never drift from the kernel rewrite."""
+    dummy = np.zeros((kh, kw, 1, 1), np.float32)
+    _, p1 = phase_kernel_s1(dummy, pad=pad)
+    _, p2 = phase_kernel_s2(dummy, pad=pad)
+    return p1, p2
 
 
 def tile_phase_bias(bias: np.ndarray) -> np.ndarray:

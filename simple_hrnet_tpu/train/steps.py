@@ -38,7 +38,7 @@ def _batch_inputs(batch, device_targets):
 
     Otherwise ``device_targets`` is a config dict (heatmap_size, image_size,
     heatmap_sigma, joints_weight) and the batch carries the RAW pipeline
-    tail — image in [0, 1] straight off the host warp, plus per-sample
+    tail — image in [0, 255] straight off the host warp, plus per-sample
     transformed ``joints``/``joints_vis`` — and this function runs the
     ImageNet normalize and the gaussian target generation IN-GRAPH
     (data/target.py:generate_target_device). The host thereby sheds the
@@ -48,12 +48,13 @@ def _batch_inputs(batch, device_targets):
     if device_targets is None:
         return batch['image'], batch['target'], batch['target_weight']
     from simple_hrnet_tpu.data import target as target_gen
-    from simple_hrnet_tpu.data.coco import IMAGENET_INV_STD, IMAGENET_MEAN
-    # multiply by the SAME f32 reciprocal the host pipeline uses — a
-    # division here compiles to a different reciprocal rewrite and breaks
-    # bit parity with the host-target mode (see data/coco.py)
-    image = ((batch['image'] - jnp.asarray(IMAGENET_MEAN))
-             * jnp.asarray(IMAGENET_INV_STD))
+    from simple_hrnet_tpu.data.coco import INV255_STD, MEAN255
+    # subtract-then-multiply with the SAME pre-merged f32 constants the
+    # host pipeline uses — a division or a mul-then-sub here compiles to
+    # a different rounding chain (reciprocal rewrite / FMA contraction)
+    # and breaks bit parity with the host-target mode (see ops/image.py)
+    image = ((batch['image'] - jnp.asarray(MEAN255))
+             * jnp.asarray(INV255_STD))
     target, weight = target_gen.generate_target_device(
         batch['joints'], batch['joints_vis'],
         tuple(device_targets['heatmap_size']),

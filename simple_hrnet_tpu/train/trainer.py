@@ -298,11 +298,10 @@ class Train:
         if step == 0:
             from simple_hrnet_tpu.utils.visualization import save_images
             if self.device_targets:
-                # the raw pipeline tail is in [0, 1]; save_images
+                # the raw pipeline tail is in [0, 255]; save_images
                 # denormalizes assuming ImageNet-normalized input
-                from simple_hrnet_tpu.data.coco import (IMAGENET_INV_STD,
-                                                        IMAGENET_MEAN)
-                image = (np.asarray(image) - IMAGENET_MEAN) * IMAGENET_INV_STD
+                from simple_hrnet_tpu.data.coco import INV255_STD, MEAN255
+                image = (np.asarray(image) - MEAN255) * INV255_STD
             save_images(image, np.asarray(target), np.asarray(joints_target),
                         np.asarray(output), np.asarray(joints_preds),
                         joints_data['joints_visibility'],

@@ -64,8 +64,10 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
             cal_apply = partial(poseresnet.apply, resnet_size=c)
 
         imgs = Q.smooth_frames(resolution, n=2, lo=0.0, hi=255.0)
-        cal = ((imgs / 255.0 - np.asarray(I.IMAGENET_MEAN))
-               / np.asarray(I.IMAGENET_STD)).astype(np.float32)
+        # subtract-then-multiply convention (ops/image.py) so the
+        # engine's calibration matches the serving graph bitwise
+        cal = ((imgs.astype(np.float32) - I.MEAN255)
+               * I.INV255_STD).astype(np.float32)
         amax = Q.calibrate_cpu(cal_apply, params, [cal])
 
     if model_name in ('HRNet', 'hrnet'):

@@ -46,3 +46,52 @@ def reference_on_path():
     if ref not in sys.path:
         sys.path.append(ref)
     return ref
+
+
+# ---------------------------------------------------------------------------
+# Quick tier (`pytest -m quick`): the <5-min pre-commit smoke gate
+# (VERDICT r4 #3 — the full suite takes ~77 min on this 1-core host, so
+# every snapshot is self-verified against this subset before committing).
+# Selection is centralized here instead of scattering @pytest.mark.quick:
+# one representative parity test per module + the golden + the facade
+# contract core. Keep additions cheap — budget is 5 minutes TOTAL.
+
+QUICK_NODE_IDS = {
+    # golden regression + facade contract core
+    'test_goldens.py::test_facade_golden',
+    'test_api.py::test_single_person_matches_reference',
+    'test_api.py::test_batch_contract',
+    'test_api.py::test_empty_frame_contract',
+    # one parity anchor per module
+    'test_models_parity.py::test_hrnet_parity[32-hw0]',
+    'test_ops.py::test_get_final_preds_parity',
+    'test_ops.py::test_crop_resize_matches_cv2',
+    'test_crop_pil.py::test_crop_pil_bitexact_x64',
+    'test_detector.py::test_nms_jax_matches_numpy',
+    'test_detector.py::test_native_cpp_nms_matches_python',
+    'test_detector.py::test_phase_stem_gating',
+    'test_detector.py::test_phase_stem_invalid_request_raises',
+    'test_yolov5.py::test_detect_decode_formula',
+    'test_quantize.py::test_calibrate_and_policy_selection',
+    'test_train_components.py::test_joints_mse_loss_parity',
+    'test_train_components.py::test_generate_target_parity_with_reference',
+    'test_coco_pipeline.py::test_dataset_item_semantics',
+    'test_device_targets.py::test_raw_tail_semantics',
+    'test_mpii.py::test_mpii_center_scale_arithmetic',
+    'test_parallel.py::test_mesh_creation',
+    'test_utils.py::test_tracking_association_parity',
+    'test_utils.py::test_cli_parsers_match_reference_flags',
+    'test_utils.py::test_root_shim_import',
+    # cross-subsystem normalize convention (cheap, whole file)
+    'test_normalize_convention.py',
+    # real-weight acceptance harness smoke (VERDICT r4 #7)
+    'test_validate_goldens.py',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split('/')[-1]
+        fname = rel.split('::')[0]
+        if rel in QUICK_NODE_IDS or fname in QUICK_NODE_IDS:
+            item.add_marker(pytest.mark.quick)

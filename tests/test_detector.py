@@ -313,15 +313,55 @@ def test_letterbox_phase_matches_standard(rng, in_hw):
 
 
 def test_phase_stem_gating():
-    """Auto-gate: the classic yolov3 stem qualifies, tiny (conv+maxpool)
-    does not; explicit phase_stem=False wins over auto."""
+    """Auto-gate: both the conv+conv (yolov3) and conv+maxpool (tiny,
+    round 5) stems qualify; explicit phase_stem=False wins over auto."""
     from simple_hrnet_tpu.detectors import darknet
     from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
 
     assert darknet.stem_phaseable(darknet.yolov3_blocks())
-    assert not darknet.stem_phaseable(darknet.yolov3_tiny_blocks())
-    assert not YOLOv3(model_def='yolov3-tiny').phase_stem
+    assert darknet.stem_phaseable(darknet.yolov3_tiny_blocks())
+    assert YOLOv3(model_def='yolov3-tiny').phase_stem
     assert not YOLOv3(phase_stem=False).phase_stem
+    assert not YOLOv3(model_def='yolov3-tiny', phase_stem=False).phase_stem
+
+
+def test_phase_stem_invalid_request_raises():
+    """Explicit phase_stem=True on a non-qualifying graph or odd img_size
+    fails loudly (ADVICE r4) instead of silently wrong numerics."""
+    import pytest
+    from simple_hrnet_tpu.detectors import darknet
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    with pytest.raises(ValueError, match='even img_size'):
+        YOLOv3(phase_stem=True, img_size=415)
+    # a 3x3 s2 maxpool stem (not 2x2) must NOT phase
+    blocks = darknet.yolov3_tiny_blocks()
+    blocks[1] = dict(blocks[1], size=3)
+    assert not darknet.stem_phaseable(blocks)
+    import jax
+    params = darknet.fold_weights(darknet.init(jax.random.PRNGKey(0),
+                                               blocks))
+    with pytest.raises(ValueError, match='not qualify'):
+        darknet.phase_stem_params(params, blocks)
+
+
+def test_yolov3_tiny_phase_stem_detect_parity(rng):
+    """conv+maxpool phase stem (round 5): a 2x2 s2 maxpool in phase space
+    is an elementwise max over the 4 phase channel blocks. Full tiny
+    detect pipeline: phase detections == standard detections."""
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    frames = rng.uniform(0, 255, (2, 240, 320, 3)).astype(np.float32)
+    det_p = YOLOv3(model_def='yolov3-tiny', phase_stem=True)
+    det_s = YOLOv3(model_def='yolov3-tiny', phase_stem=False)
+    assert det_p.phase_stem and not det_s.phase_stem
+    rows_p = det_p.predict(frames.copy())
+    rows_s = det_s.predict(frames.copy())
+    for a, b in zip(rows_p, rows_s):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=5e-4)
 
 
 def test_yolov3_phase_stem_detect_parity(rng):

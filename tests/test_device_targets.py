@@ -3,13 +3,15 @@ the jitted train/eval step runs ImageNet normalize + gaussian target
 generation in-graph (train/steps.py:_batch_inputs, data/coco.py).
 
 Parity contract: per decode path the IMAGE numerics are BIT-identical to
-the host-target mode — the split normalize reuses the exact intermediate
-the one-shot host chain computes (u8/255 for cv2, acc*inv255 for the fused
-native kernel) and both sides multiply by the same f32 reciprocal
-IMAGENET_INV_STD (a division is NOT reproducible: XLA rewrites x/const
-into x*(1/const), shifting the input by 1-2 ulp which amplifies to ~7e-4
-through the conv stack — root-caused in tests/diag_devt.py). The forward
-output is therefore asserted bitwise. The in-graph gaussian targets match
+the host-target mode — the host ships the RAW [0, 255] warp (u8 floats
+for cv2, the exact warp accumulator for the fused native kernel) and both
+modes run the same subtract-then-multiply normalize
+``(x - MEAN255) * INV255_STD`` with the shared pre-merged f32 constants
+(divisions and mul-then-sub chains are NOT reproducible across backends:
+XLA's x/const reciprocal rewrite and FMA contraction each shift the input
+by ulps, which amplifies to ~7e-4 through the conv stack — root-caused in
+tests/diag_devt.py; convention note in ops/image.py). The forward output
+is therefore asserted bitwise. The in-graph gaussian targets match
 data/target.py's host stamping (itself an exact port of the reference
 COCO.py:460-515) to exp-ulp tolerance (device exp vs numpy exp), so loss
 and updated params carry a matching small tolerance.
@@ -22,8 +24,7 @@ import pytest
 
 from test_coco_pipeline import mini_coco  # noqa: F401  (fixture reuse)
 
-from simple_hrnet_tpu.data.coco import (COCODataset, IMAGENET_INV_STD,
-                                        IMAGENET_MEAN)
+from simple_hrnet_tpu.data.coco import COCODataset, INV255_STD, MEAN255
 
 
 def _ds(root, device_targets, **kw):
@@ -37,7 +38,7 @@ def test_raw_tail_semantics(mini_coco):  # noqa: F811
     ds = _ds(mini_coco, True, is_train=False)
     image, joints, vis, meta = ds[0]
     assert image.shape == (64, 64, 3) and image.dtype == np.float32
-    assert 0.0 <= image.min() and image.max() <= 1.0
+    assert 0.0 <= image.min() and image.max() <= 255.0
     assert joints.shape == (17, 2) and joints.dtype == np.float32
     assert vis.shape == (17, 2) and vis.dtype == np.float32
     assert meta['scale'].shape == (2,)
@@ -58,8 +59,7 @@ def test_raw_tail_bit_matches_host_normalize(mini_coco, native):  # noqa: F811
         img_h, _, _, meta_h = ds_h[i]
         # identical aug draws -> identical warp; the in-graph normalize's
         # host-side replica must reproduce the host image bit-for-bit
-        np.testing.assert_array_equal(
-            (img_d - IMAGENET_MEAN) * IMAGENET_INV_STD, img_h)
+        np.testing.assert_array_equal((img_d - MEAN255) * INV255_STD, img_h)
         np.testing.assert_array_equal(joints_d,
                                       meta_h['joints'].astype(np.float32))
         np.testing.assert_array_equal(
@@ -72,10 +72,10 @@ def _collate_pair(ds_h, ds_d, idxs):
         random.seed(500 + k)
         img, tgt, tw, _ = ds_h[i]
         random.seed(500 + k)
-        img01, joints, vis, _ = ds_d[i]
+        img_raw, joints, vis, _ = ds_d[i]
         for buf, v in zip(host, (img, tgt, tw)):
             buf.append(v)
-        for buf, v in zip(dev, (img01, joints, vis)):
+        for buf, v in zip(dev, (img_raw, joints, vis)):
             buf.append(v)
     bh = {'image': np.stack(host[0]), 'target': np.stack(host[1]),
           'target_weight': np.stack(host[2])}

@@ -387,3 +387,30 @@ def test_facade_int8_real_calibration(tmp_path, rng):
                 count(v)
     count(m.params)
     assert found
+
+
+def test_yolov3_int8_phase_stem(rng):
+    """int8 + phase_stem compose (ADVICE r4): the phase conv_0/conv_1
+    fall outside the int8 policy (their (3,3,12,128)/(2,2,128,64) forms
+    are rejected), so enabling phase_stem trades conv_1's int8 coverage
+    for the 2.73x phase chain — one fewer node quantized than plain, and
+    the combined graph constructs and detects."""
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    dp = YOLOv3(dtype='int8', phase_stem=True)
+    ds = YOLOv3(dtype='int8', phase_stem=False)
+    assert dp.phase_stem and not ds.phase_stem
+
+    def qnames(det):
+        return {k for k, v in det.params.items()
+                if isinstance(v, dict) and 'kernel_q' in v}
+    qp, qs = qnames(dp), qnames(ds)
+    assert 'conv_1' in qs and 'conv_1' not in qp
+    assert 'conv_0' not in qp and 'conv_0' not in qs
+    assert qp == qs - {'conv_1'}
+
+    frames = rng.integers(0, 255, (2, 224, 320, 3), dtype=np.uint8)
+    rp, vp = dp._detect(jnp.asarray(frames, jnp.float32))
+    rs, vs = ds._detect(jnp.asarray(frames, jnp.float32))
+    assert rp.shape == rs.shape
+    assert np.asarray(vp).shape == np.asarray(vs).shape
