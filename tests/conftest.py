@@ -86,6 +86,8 @@ QUICK_NODE_IDS = {
     'test_normalize_convention.py',
     # real-weight acceptance harness smoke (VERDICT r4 #7)
     'test_validate_goldens.py',
+    # driver-scoreboard budget guard (VERDICT r4 #1)
+    'test_bench_guard.py',
 }
 
 
