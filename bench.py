@@ -271,9 +271,6 @@ def main():
     from simple_hrnet_tpu import enable_compile_cache
     enable_compile_cache()
 
-    baseline = torch_cpu_fps()
-    north_star = None          # re-printed last for the driver's parser
-
     def guarded(name, est_cold, thunk):
         """Run one metric unless the remaining budget can't cover its
         cold-cache estimate; fault-isolate so one failure can't blank
@@ -293,6 +290,38 @@ def main():
                   flush=True)
             return False
 
+    # The torch-CPU denominator is normally a cached read
+    # (BASELINE_MEASURED.json, committed); measuring it fresh costs ~4 min
+    # of torch W48 forwards, so on a cacheless machine it rides the same
+    # budget guard as everything else instead of stalling the scoreboard.
+    baseline = None
+    try:
+        if os.path.exists(CACHE) or remaining() > 300:
+            baseline = torch_cpu_fps()
+        else:
+            print(json.dumps({'note': 'skipped torch-CPU baseline measure: '
+                                      f'{remaining():.0f}s left < 300s and '
+                                      'no BASELINE_MEASURED.json cache; '
+                                      'metrics report vs_baseline=0'}),
+                  flush=True)
+    except Exception as e:
+        print(json.dumps({'note': f'torch-CPU baseline unavailable '
+                                  f'({type(e).__name__}: {e}); metrics '
+                                  f'report vs_baseline=0'}), flush=True)
+
+    def vs(x, denom=None):
+        b = baseline if denom is None else denom
+        return x / b if b else 0.0
+
+    # lines by scoreboard priority; the finally block re-prints the best
+    # available so the driver's LAST-line parse always lands on the most
+    # scoreboard-relevant metric even after failures (priority 0 = the
+    # north-star batched e2e)
+    printed = {}
+
+    def emit_p(priority, metric, value, unit, vsb):
+        printed[priority] = emit(metric, value, unit, vsb)
+
     state = {}
 
     # cheapest compile first: bf16 forward (~2-3 min cold). Then the
@@ -300,44 +329,54 @@ def main():
     def run_forward_setup_and_bf16():
         state['bf16_thunk'], state['int8_thunk'] = make_w48_forward_thunks()
         v = state['bf16_thunk']()
-        emit('HRNet-W48 384x288 pose forward throughput (bf16, b16)',
-             v, 'img/s/chip', v / baseline)
+        emit_p(2, 'HRNet-W48 384x288 pose forward throughput (bf16, b16)',
+               v, 'img/s/chip', vs(v))
 
     def run_multiperson():
-        nonlocal north_star
         mp, mp_b8 = measure_multiperson_fps()
         # generous-to-reference denominator: torch-CPU pose forward alone
         # at 8 crops/frame (its detector + host crop loop only slows it)
-        emit('W48-384x288 multi-person e2e (YOLOv3 detect+crop+pose'
-             '+decode, fused, int8)',
-             mp, 'frames/s/chip', mp / (baseline / MP_SLOTS))
-        north_star = emit(
-            'W48-384x288 multi-person e2e, 8-frame batched serving '
-            '(predict_stream batch_frames=8, fused, int8)',
-            mp_b8, 'frames/s/chip', mp_b8 / (baseline / MP_SLOTS))
+        emit_p(1, 'W48-384x288 multi-person e2e (YOLOv3 detect+crop+pose'
+                  '+decode, fused, int8)',
+               mp, 'frames/s/chip',
+               vs(mp, baseline / MP_SLOTS if baseline else None))
+        emit_p(0, 'W48-384x288 multi-person e2e, 8-frame batched serving '
+                  '(predict_stream batch_frames=8, fused, int8)',
+               mp_b8, 'frames/s/chip',
+               vs(mp_b8, baseline / MP_SLOTS if baseline else None))
 
     def run_int8():
         v = state['int8_thunk']()
-        emit('HRNet-W48 384x288 pose forward throughput (int8, b32)',
-             v, 'img/s/chip', v / baseline)
+        emit_p(3, 'HRNet-W48 384x288 pose forward throughput (int8, b32)',
+               v, 'img/s/chip', vs(v))
 
     def run_train():
+        try:
+            denom = torch_cpu_train_fps()
+        except Exception:
+            denom = None
         v = measure_train_step()
-        emit('HRNet-W48 384x288 TRAIN step (bf16 mixed, b16, grouped '
-             'trunk, fwd+bwd+Adam+BN)',
-             v, 'img/s/chip', v / torch_cpu_train_fps())
+        emit_p(4, 'HRNet-W48 384x288 TRAIN step (bf16 mixed, b16, grouped '
+                  'trunk, fwd+bwd+Adam+BN)',
+               v, 'img/s/chip', vs(v, denom))
 
     try:
         guarded('bf16 forward', 240, run_forward_setup_and_bf16)
         guarded('multi-person e2e', 420, run_multiperson)
         if 'int8_thunk' in state:
             guarded('int8 forward', 180, run_int8)
+        else:
+            print(json.dumps({'note': 'skipped "int8 forward": its packed '
+                                      'params come from the bf16 setup '
+                                      'stage, which did not run'}),
+                  flush=True)
         guarded('train step', 660, run_train)
     finally:
-        if north_star is not None:
+        if printed:
             # the driver parses the LAST json line; make sure it is the
-            # scoreboard metric even after skips/failures above
-            print(json.dumps(north_star), flush=True)
+            # highest-priority metric that succeeded (north-star batched
+            # e2e when available) even after skips/failures above
+            print(json.dumps(printed[min(printed)]), flush=True)
 
 
 if __name__ == '__main__':

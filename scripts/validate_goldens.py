@@ -258,26 +258,31 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None, only=None,
     compare_single('w48_384x288_batch16', 'w48', (384, 288), 16)
 
     # 4. Multi-person: YOLOv3-tiny -> padded crops -> HRNet-W32 + decode
-    if not wanted('multiperson_yolov3tiny_w32'):
+    if wanted('multiperson_yolov3tiny_w32'):
+        tm, ckpt_path, is_random = _torch_model(
+            'w32', _find_weight(weights_dir, 'w32'), tmpdir)
+        yolo_w = _find_weight(weights_dir, 'yolov3-tiny')
+        facade = SimpleHRNet(32, 17, ckpt_path, resolution=(256, 192),
+                             multiperson=True, yolo_model_def='yolov3-tiny',
+                             yolo_weights_path=yolo_w,
+                             return_bounding_boxes=True)
+        boxes, pts = facade.predict(frame)
+        fps = _fps(lambda: facade.predict(frame), n=fps_n)
+        results['configs']['multiperson_yolov3tiny_w32'] = {
+            'random_weights': is_random or yolo_w is None,
+            'people_detected': int(np.asarray(pts).shape[0]),
+            'keypoints_golden': np.asarray(pts).tolist(),
+            'boxes': np.asarray(boxes).tolist(),
+            'fps_wall': round(fps, 2),
+        }
+        print(f'[multiperson] people={np.asarray(pts).shape[0]} '
+              f'fps={fps:.1f}')
+
+    # 5/6 share the W48 torch build — skip it when neither runs (it costs
+    # minutes on this host)
+    if not (wanted('video_yolov5_w48') or wanted('int8_vs_bf16_w48')):
         _finish(results, out_path)
         return results
-    tm, ckpt_path, is_random = _torch_model(
-        'w32', _find_weight(weights_dir, 'w32'), tmpdir)
-    yolo_w = _find_weight(weights_dir, 'yolov3-tiny')
-    facade = SimpleHRNet(32, 17, ckpt_path, resolution=(256, 192),
-                         multiperson=True, yolo_model_def='yolov3-tiny',
-                         yolo_weights_path=yolo_w,
-                         return_bounding_boxes=True)
-    boxes, pts = facade.predict(frame)
-    fps = _fps(lambda: facade.predict(frame), n=fps_n)
-    results['configs']['multiperson_yolov3tiny_w32'] = {
-        'random_weights': is_random or yolo_w is None,
-        'people_detected': int(np.asarray(pts).shape[0]),
-        'keypoints_golden': np.asarray(pts).tolist(),
-        'boxes': np.asarray(boxes).tolist(),
-        'fps_wall': round(fps, 2),
-    }
-    print(f'[multiperson] people={np.asarray(pts).shape[0]} fps={fps:.1f}')
 
     # 5. End-to-end video: YOLOv5 + HRNet-W48 (extract-keypoints path)
     tm, ckpt48, rnd48 = _torch_model(
@@ -313,11 +318,15 @@ def run(weights_dir, image_path, out_path, coco_val_dir=None, only=None,
 def _finish(results, out_path):
     any_random = any(v.get('random_weights') for v in
                      results['configs'].values())
-    results['all_real_weights'] = not any_random
+    # a run that executed NOTHING (empty/typo'd only= set) must not claim
+    # publishable real-weight parity
+    all_real = bool(results['configs']) and not any_random
+    results['all_real_weights'] = all_real
     with open(out_path, 'w') as f:
         json.dump(results, f, indent=2)
-    print(f'wrote {out_path}; all_real_weights={not any_random}')
-    if not any_random:
+    print(f'wrote {out_path}; configs={len(results["configs"])} '
+          f'all_real_weights={all_real}')
+    if all_real:
         print('NOTE: copy results into BASELINE.json "published" after '
               'reviewing the 1e-3 gate.')
 

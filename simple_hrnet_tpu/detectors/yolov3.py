@@ -187,7 +187,7 @@ class YOLOv3:
 
         # Producer-fused space-to-depth stem (ops/phase.py): the letterbox
         # matmuls emit the phase layout for free and conv0 runs at 12 input
-        # lanes instead of 3 — measured 2.73x on letterbox+conv0+down1
+        # lanes instead of 3 — measured 2.5-2.7x on letterbox+conv0+down1
         # (PERF.md round 4/5). Auto-on when the graph's stem qualifies.
         # Under dtype='int8' the transformed conv_1 (2,2,128,64) falls
         # outside the quantize policy and runs bf16 (one fewer node

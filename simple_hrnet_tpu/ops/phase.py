@@ -11,7 +11,8 @@ tensor loses on TPU (6-D transpose 0.55x, strided slices 0.29x — PERF.md
 pair of dense matmuls (ops/image.py), and a matmul can emit the phase
 layout for FREE — reorder the static weight matrix's rows into
 [even; odd] blocks, slice the two contiguous halves, and concat on lanes.
-Measured 2.73x on letterbox+conv0+down1 (scripts/bench_s2d_producer.py).
+Measured 2.5-2.7x on letterbox+conv0+down1 across sessions
+(scripts/bench_s2d_producer.py; PERF.md "producer-fused phase stem").
 
 Phase layout convention: channel block (a*2+b)*C:(a*2+b+1)*C of the
 (H/2, W/2, 4C) tensor holds pixels at full-res (2Y+a, 2X+b) — row-major

@@ -221,8 +221,9 @@ class Train:
 
     def _make_batch(self, image, second, third):
         """Assemble the step's batch dict. Host-target mode: (image, target,
-        target_weight); device_targets mode: (image01, joints, joints_vis)
-        — the step stamps targets in-graph and returns them."""
+        target_weight); device_targets mode: (raw [0, 255] image, joints,
+        joints_vis) — the step normalizes the image and stamps targets
+        in-graph and returns them (ops/image.py convention)."""
         if self.device_targets:
             batch = {'image': np.asarray(image),
                      'joints': np.asarray(second),

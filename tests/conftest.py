@@ -92,8 +92,21 @@ QUICK_NODE_IDS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
+    collected_files = set()
     for item in items:
         rel = item.nodeid.split('/')[-1]
         fname = rel.split('::')[0]
+        collected_files.add(fname)
         if rel in QUICK_NODE_IDS or fname in QUICK_NODE_IDS:
             item.add_marker(pytest.mark.quick)
+            matched.add(rel if rel in QUICK_NODE_IDS else fname)
+    # A renamed test or reordered parametrize id must not silently thin
+    # the pre-commit gate: every QUICK entry whose file WAS collected has
+    # to match something (file-scoped so partial runs still work).
+    stale = [q for q in QUICK_NODE_IDS
+             if q not in matched and q.split('::')[0] in collected_files]
+    if stale:
+        raise pytest.UsageError(
+            f'QUICK_NODE_IDS entries match no collected test (renamed or '
+            f'reparametrized?): {sorted(stale)}')
