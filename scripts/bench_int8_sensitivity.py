@@ -42,15 +42,8 @@ from simple_hrnet_tpu.ops import decode as D
 RES = (384, 288)
 
 
-def node_paths(tree, prefix=()):
-    """{id(node): 'dotted.path'} for every conv node in the folded tree."""
-    out = {}
-    if isinstance(tree, dict):
-        if 'kernel' in tree:
-            out[id(tree)] = '.'.join(prefix)
-        for k, v in tree.items():
-            out.update(node_paths(v, prefix + (str(k),)))
-    return out
+node_paths = Q.node_paths   # path map shared with the production knob
+                            # (SimpleHRNet(int8_exclude=...) -> filter_amax)
 
 
 def main():

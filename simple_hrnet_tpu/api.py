@@ -131,7 +131,9 @@ class SimpleHRNet:
         on the W48 bottleneck convs, PERF.md round 2c); with
         ``calibration_images`` (iterable of HWC RGB frames) the int8
         activation scales calibrate on real data instead of the synthetic
-        default;
+        default, and ``int8_exclude`` (path prefixes, e.g. ('stage4',))
+        keeps named param groups bf16 — the accuracy-policy knob from the
+        per-stage sensitivity sweep (PERF.md round 5);
         ``use_fused_kernels`` (default True) enables the block-diagonal
         fast chains for HRNet inference (f32-exact; see PERF.md) —
         set False for the plain reference-shaped graph.
@@ -157,11 +159,17 @@ class SimpleHRNet:
                  dtype: Union[str, None] = None,
                  use_fused_kernels: bool = True,
                  mesh=None,
-                 calibration_images=None):
+                 calibration_images=None,
+                 int8_exclude=()):
         self.c = c
         # int8 calibration data: iterable of HWC RGB uint8/float frames
         # (resized internally); None -> smooth synthetic frames
         self.calibration_images = calibration_images
+        # accuracy-policy knob (PERF.md round-5 sensitivity sweep): param
+        # groups kept OUT of int8, e.g. int8_exclude=('stage4',) keeps the
+        # decode-head-adjacent stage bf16 (the measured accuracy-hot group)
+        # at ~40% lower heatmap error for a modest throughput cost
+        self.int8_exclude = tuple(int8_exclude)
         self.nof_joints = nof_joints
         self.checkpoint_path = checkpoint_path
         self.model_name = model_name
@@ -234,6 +242,9 @@ class SimpleHRNet:
                 else:
                     raise ValueError('Wrong model name.')
                 amax = self._calibrate_int8(cal_apply, params)
+                if self.int8_exclude:
+                    from simple_hrnet_tpu.models import quantize as Q
+                    amax = Q.filter_amax(params, amax, self.int8_exclude)
 
             if model_name in ('HRNet', 'hrnet'):
                 # under a mesh the batch-halves packing would concat across

@@ -14,7 +14,8 @@ import ast
 
 def main(weights='./weights/pose_hrnet_w48_384x288.pth', half=False,
          int8=False, fused=False, output=None, batch_size=16, hrnet_c=48,
-         hrnet_j=17, hrnet_m='HRNet', image_resolution='(384, 288)'):
+         hrnet_j=17, hrnet_m='HRNet', image_resolution='(384, 288)',
+         int8_exclude=''):
     from simple_hrnet_tpu.utils.export import export_engine
 
     if isinstance(image_resolution, str):
@@ -22,10 +23,12 @@ def main(weights='./weights/pose_hrnet_w48_384x288.pth', half=False,
     if output is None:
         suffix = '_int8' if int8 else ('_half' if half else '')
         output = weights.rsplit('.', 1)[0] + suffix + '.jaxpose'
+    exclude = tuple(p for p in int8_exclude.split(',') if p) \
+        if isinstance(int8_exclude, str) else tuple(int8_exclude)
     path = export_engine(output, weights, c=hrnet_c, nof_joints=hrnet_j,
                          model_name=hrnet_m, resolution=image_resolution,
                          batch_size=batch_size, half=half, int8=int8,
-                         fused=fused)
+                         fused=fused, int8_exclude=exclude)
     print(f'Engine written to {path}')
 
 
@@ -41,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--fused', help='bake the grouped block-diagonal '
                         'trunk into the engine (pure-XLA, portable)',
                         action='store_true')
+    parser.add_argument('--int8_exclude', type=str, default='',
+                        help='comma-separated param-path prefixes kept '
+                             'bf16 under --int8 (accuracy knob, e.g. '
+                             '"stage4" — PERF.md round-5 sweep)')
     parser.add_argument('--output', '-o', type=str, default=None)
     parser.add_argument('--batch_size', '-b', type=int, default=16)
     parser.add_argument('--hrnet_c', '-c', type=int, default=48)

@@ -108,6 +108,42 @@ def quantize_folded(params: Params, amax: Dict[int, float],
     return walk(params)
 
 
+def node_paths(tree: Params, prefix=()) -> Dict[int, str]:
+    """{id(conv_node): 'dotted.path'} for every node holding a kernel.
+
+    The amax map is keyed by node identity; this gives those keys a
+    human/stage-addressable name (e.g. 'stage4.2.branches.0.0.conv1')."""
+    out: Dict[int, str] = {}
+    if isinstance(tree, dict):
+        if 'kernel' in tree or 'kernel_q' in tree:
+            out[id(tree)] = '.'.join(prefix)
+        for k, v in tree.items():
+            out.update(node_paths(v, prefix + (str(k),)))
+    return out
+
+
+def filter_amax(params: Params, amax: Dict[int, float],
+                exclude: Iterable[str]) -> Dict[int, float]:
+    """Drop calibration entries whose param path is under an excluded
+    prefix, so those convs stay bf16/f32.
+
+    ``exclude`` entries are dotted path prefixes matched on component
+    boundaries — ('stage4',) excludes every conv under the stage4 group.
+    The accuracy-policy knob from the per-stage sensitivity sweep
+    (PERF.md round 5: stage4 feeds the decode head directly and is the
+    int8-accuracy-hot group; scripts/bench_int8_sensitivity.py)."""
+    exclude = tuple(exclude)
+    if not exclude:
+        return amax
+    paths = node_paths(params)
+
+    def excluded(path: str) -> bool:
+        return any(path == e or path.startswith(e + '.') for e in exclude)
+
+    return {i: a for i, a in amax.items()
+            if not excluded(paths.get(i, ''))}
+
+
 def quantize_model(apply_fn: Callable, params: Params,
                    batches: Iterable[np.ndarray],
                    policy: Optional[Callable] = None) -> Params:

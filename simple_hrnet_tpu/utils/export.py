@@ -29,7 +29,8 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
                   nof_joints: int = 17, model_name: str = 'HRNet',
                   resolution: Tuple[int, int] = (384, 288),
                   batch_size: int = 16, half: bool = False,
-                  int8: bool = False, fused: bool = False) -> str:
+                  int8: bool = False, fused: bool = False,
+                  int8_exclude=()) -> str:
     """Build + serialize the AOT forward.
 
     ``half`` = bf16 compute (the analogue of the reference's fp16 TensorRT
@@ -69,6 +70,9 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
         cal = ((imgs.astype(np.float32) - I.MEAN255)
                * I.INV255_STD).astype(np.float32)
         amax = Q.calibrate_cpu(cal_apply, params, [cal])
+        if int8_exclude:
+            # accuracy-policy knob, same as SimpleHRNet(int8_exclude=...)
+            amax = Q.filter_amax(params, amax, int8_exclude)
 
     if model_name in ('HRNet', 'hrnet'):
         if fused:

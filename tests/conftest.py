@@ -103,7 +103,12 @@ def pytest_collection_modifyitems(config, items):
             matched.add(rel if rel in QUICK_NODE_IDS else fname)
     # A renamed test or reordered parametrize id must not silently thin
     # the pre-commit gate: every QUICK entry whose file WAS collected has
-    # to match something (file-scoped so partial runs still work).
+    # to match something. File-scoped so partial runs still work, and
+    # skipped entirely under node-id (::) or -k selection, where
+    # collection is already restricted before this hook runs.
+    if any('::' in str(a) for a in config.args) or \
+            getattr(config.option, 'keyword', ''):
+        return
     stale = [q for q in QUICK_NODE_IDS
              if q not in matched and q.split('::')[0] in collected_files]
     if stale:

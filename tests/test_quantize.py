@@ -414,3 +414,47 @@ def test_yolov3_int8_phase_stem(rng):
     rs, vs = ds._detect(jnp.asarray(frames, jnp.float32))
     assert rp.shape == rs.shape
     assert np.asarray(vp).shape == np.asarray(vs).shape
+
+
+def test_facade_int8_exclude_stage(tmp_path, rng):
+    """int8_exclude keeps named param groups bf16 (the accuracy-policy
+    knob from the round-5 per-stage sensitivity sweep): no conv under the
+    excluded prefix carries kernel_q, everything else quantizes as
+    before, and predict still works."""
+    import conftest as _c
+    _c.reference_on_path()
+    import torch
+    from models_.hrnet import HRNet as TorchHRNet
+    from simple_hrnet_tpu.api import SimpleHRNet
+    from simple_hrnet_tpu.models import quantize as Q
+
+    torch.manual_seed(0)
+    path = tmp_path / 'pose_hrnet_w32.pth'
+    torch.save(TorchHRNet(c=32, nof_joints=17).state_dict(), str(path))
+
+    def qpaths(params):
+        return {p for i, p in Q.node_paths(params).items()
+                if _node_by_path(params, p).get('kernel_q') is not None}
+
+    m_all = SimpleHRNet(32, 17, str(path), multiperson=False,
+                        resolution=(64, 64), dtype='int8',
+                        use_fused_kernels=False)
+    m_exc = SimpleHRNet(32, 17, str(path), multiperson=False,
+                        resolution=(64, 64), dtype='int8',
+                        use_fused_kernels=False,
+                        int8_exclude=('stage4',))
+    q_all, q_exc = qpaths(m_all.params), qpaths(m_exc.params)
+    assert any(p.startswith('stage4.') for p in q_all)
+    assert not any(p.startswith('stage4.') for p in q_exc)
+    assert q_exc == {p for p in q_all if not p.startswith('stage4.')}
+    assert q_exc  # the rest still quantizes
+
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    assert m_exc.predict(img).shape == (1, 17, 3)
+
+
+def _node_by_path(params, dotted):
+    node = params
+    for k in dotted.split('.'):
+        node = node[k]
+    return node
