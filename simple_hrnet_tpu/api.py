@@ -168,7 +168,8 @@ class SimpleHRNet:
         # accuracy-policy knob (PERF.md round-5 sensitivity sweep): param
         # groups kept OUT of int8, e.g. int8_exclude=('stage4',) keeps the
         # decode-head-adjacent stage bf16 (the measured accuracy-hot group)
-        # at ~40% lower heatmap error for a modest throughput cost
+        # at ~40% lower heatmap error for -15% W48 int8 b32 throughput
+        # (1514 -> 1282 img/s measured)
         self.int8_exclude = tuple(int8_exclude)
         self.nof_joints = nof_joints
         self.checkpoint_path = checkpoint_path
