@@ -208,8 +208,17 @@ class YOLOv3:
         if dtype == 'int8':
             # TRT-style PTQ on the detector's MXU-bound convs (the
             # high-resolution early layers; models/quantize.py policy) —
-            # remaining convs run bf16
-            self.params = self._quantize_int8(self.params, img_size)
+            # remaining convs run bf16. Small darknet graphs skip the
+            # quantization entirely: on yolov3-tiny (13 convs) the few
+            # policy-eligible convs lose to Q/DQ VPU traffic — measured
+            # b8 640x480: bf16 3.00 ms vs int8 3.40 plain, 1.98 vs 2.25
+            # with the phase stem (PERF.md round 5) — so "int8" there
+            # means the fastest mixed precision, which IS pure bf16
+            # (same best-tactic semantics as a TRT engine).
+            n_convs = sum(1 for b in self.blocks
+                          if b['type'] == 'convolutional')
+            if n_convs >= 20:
+                self.params = self._quantize_int8(self.params, img_size)
             dtype = jnp.bfloat16
 
         self.conf_thres = conf_thres

@@ -264,8 +264,11 @@ def test_int8_fused_engine_export(tmp_path, rng, monkeypatch):
 
 
 def test_yolov3_int8(rng):
-    """YOLOv3(dtype='int8') quantizes the early high-res convs and detects
-    boxes close to the f32 detector's."""
+    """YOLOv3(dtype='int8'): small graphs (tiny, 13 convs) skip the
+    quantization and run pure bf16 — measured faster than the quantized
+    mix at every stem (PERF.md round 5) — while still detecting; the
+    full graph's quantization is pinned in test_yolov3_int8_phase_stem."""
+    import jax.numpy as jnp_
     from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
 
     d8 = YOLOv3(model_def='yolov3-tiny', dtype='int8')
@@ -280,7 +283,8 @@ def test_yolov3_int8(rng):
             for v in t.values():
                 count(v)
     count(d8.params)
-    assert qcount, 'no detector convs quantized'
+    assert not qcount, 'tiny must skip quantization (bf16 measured faster)'
+    assert d8.dtype == jnp_.bfloat16
 
     frames = rng.integers(0, 255, (2, 224, 320, 3), dtype=np.uint8)
     r8, v8 = d8._detect(jnp.asarray(frames, jnp.float32))
