@@ -341,19 +341,14 @@ class YOLOv5:
             self.params = phase_stem_params(self.params)
 
         if dtype == 'int8':
-            # TRT-style PTQ (models/quantize.py), same recipe as YOLOv3:
-            # calibrated int8 on the policy-accepted convs, bf16 elsewhere
-            from simple_hrnet_tpu.models import quantize as Q
-            from simple_hrnet_tpu.ops import phase as P
-            cal = np.asarray(Q.smooth_frames((img_size, img_size)))
-            if self.phase_stem:
-                cal = P.space_to_depth_host(cal)
-            amax = Q.calibrate_cpu(
-                lambda p, v: apply(p, self.cfg, v, img_size, dtype=None,
-                                   phase_stem=self.phase_stem),
-                self.params, [cal])
-            self.params = jax.tree_util.tree_map(
-                jnp.asarray, Q.quantize_folded(self.params, amax))
+            # "int8" = the fastest mixed precision, TRT best-tactic style.
+            # On this CSP graph that is measured to be PURE bf16: the nine
+            # policy-eligible 3x3 convs quantize to a NET LOSS (yolov5m b8
+            # 640x480 chained on-chip: int8-mixed 7.26 ms vs bf16 6.90 —
+            # Q/DQ VPU traffic outweighs the MXU saving on these small-
+            # channel C3 convs; PERF.md round 5, same verdict as
+            # yolov3-tiny). The quantization machinery stays available via
+            # models/quantize.py for custom graphs where it wins.
             self.dtype = jnp.bfloat16
 
         self._detect_jit = {}

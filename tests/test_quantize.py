@@ -294,7 +294,10 @@ def test_yolov3_int8(rng):
 
 
 def test_yolov5_int8(rng):
-    """YOLOv5(dtype='int8') quantizes convs and still detects."""
+    """YOLOv5(dtype='int8') runs pure bf16 — quantizing its small-channel
+    C3 convs measured a net LOSS (7.26 vs 6.90 ms b8, PERF.md round 5) so
+    'int8' resolves to the fastest mixed precision — and still detects."""
+    import jax.numpy as jnp_
     from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
 
     d8 = YOLOv5(model_def='yolov5n', img_size=320, dtype='int8')
@@ -307,7 +310,8 @@ def test_yolov5_int8(rng):
             for v in t.values():
                 count(v)
     count(d8.params)
-    assert qcount, 'no yolov5 convs quantized'
+    assert not qcount, 'yolov5 must skip quantization (bf16 faster)'
+    assert d8.dtype == jnp_.bfloat16
     frames = rng.integers(0, 255, (1, 224, 320, 3), dtype=np.uint8)
     rows, valid = d8._detect(jnp.asarray(frames, jnp.float32))
     assert rows.shape[0] == 1 and rows.shape[2] == 7
