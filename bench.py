@@ -31,7 +31,12 @@ Robustness (BENCH_r04 was rc=124 with ZERO lines — never again):
 The reference publishes no numbers (BASELINE.md), so baselines are
 *measured*: the reference's own torch HRNet-W48 forward on this machine's
 CPU (the denominator the north star specifies: >=5x PyTorch-CPU fps/chip).
-Cached in BASELINE_MEASURED.json so bench stays fast. The multi-person
+Cached in BASELINE_MEASURED.json so bench stays fast. Round 5 re-measured
+the cache on an IDLE host: the old cached values (0.610 fwd / 0.119
+train img/s) had been taken under builder-session CPU contention and
+understated the reference 2.2-2.7x — vs_baseline columns before round 5
+are inflated by that factor; the metric VALUES (img/s, fps) were always
+on-chip and are unaffected. The multi-person
 denominator is derived generously for the reference: torch-CPU pose
 forward alone at 8 crops/frame, ignoring its detector + host crop loop
 (SURVEY.md §3.1 — the real reference path is strictly slower).
