@@ -94,8 +94,16 @@ def _cached(key: str, measure):
         with open(CACHE) as f:
             cache = json.load(f)
     if key not in cache:
+        # CPU baselines are contention-sensitive (round 5: builder-session
+        # contention once understated the reference 2.2-2.7x). Record the
+        # 1-min load average alongside the measurement so a contended
+        # number is identifiable, and never overwrite an existing note.
+        load1 = os.getloadavg()[0]
         cache[key] = measure()
-        cache['note'] = 'measured on this machine, single CPU core'
+        cache[key + '__loadavg1'] = round(load1, 2)
+        cache.setdefault(
+            'note', 'measured on this machine, single CPU core; only '
+            'trust values whose __loadavg1 shows an idle host (<~1.5)')
         with open(CACHE, 'w') as f:
             json.dump(cache, f, indent=2)
     return cache[key]

@@ -171,6 +171,9 @@ class SimpleHRNet:
         # at ~40% lower heatmap error for -15% W48 int8 b32 throughput
         # (1514 -> 1282 img/s measured)
         self.int8_exclude = tuple(int8_exclude)
+        if self.int8_exclude and dtype != 'int8':
+            raise ValueError("int8_exclude only applies with dtype='int8' "
+                             '(nothing is quantized otherwise)')
         self.nof_joints = nof_joints
         self.checkpoint_path = checkpoint_path
         self.model_name = model_name
@@ -192,6 +195,11 @@ class SimpleHRNet:
         if enable_tensorrt or checkpoint_path.endswith('.jaxpose'):
             # AOT engine path (the TensorRT analogue, utils/export.py):
             # a pre-lowered StableHLO module with bound folded params.
+            if self.int8_exclude:
+                raise ValueError(
+                    'int8_exclude has no effect on a prebuilt .jaxpose '
+                    'engine (its precision mix was baked at export time; '
+                    'pass --int8_exclude to export-model.py instead)')
             from simple_hrnet_tpu.utils.export import Engine
             engine = Engine(checkpoint_path)
             if tuple(engine.resolution) != self.resolution:

@@ -12,6 +12,16 @@ import argparse
 import ast
 
 
+def parse_int8_exclude(int8_exclude):
+    """'stage4, transition3' -> ('stage4', 'transition3'): comma-split
+    with whitespace stripped, so space-separated lists don't silently
+    produce never-matching prefixes."""
+    if isinstance(int8_exclude, str):
+        return tuple(p.strip() for p in int8_exclude.split(',')
+                     if p.strip())
+    return tuple(int8_exclude)
+
+
 def main(weights='./weights/pose_hrnet_w48_384x288.pth', half=False,
          int8=False, fused=False, output=None, batch_size=16, hrnet_c=48,
          hrnet_j=17, hrnet_m='HRNet', image_resolution='(384, 288)',
@@ -23,8 +33,10 @@ def main(weights='./weights/pose_hrnet_w48_384x288.pth', half=False,
     if output is None:
         suffix = '_int8' if int8 else ('_half' if half else '')
         output = weights.rsplit('.', 1)[0] + suffix + '.jaxpose'
-    exclude = tuple(p for p in int8_exclude.split(',') if p) \
-        if isinstance(int8_exclude, str) else tuple(int8_exclude)
+    exclude = parse_int8_exclude(int8_exclude)
+    if exclude and not int8:
+        raise ValueError('--int8_exclude only applies with --int8 '
+                         '(nothing is quantized otherwise)')
     path = export_engine(output, weights, c=hrnet_c, nof_joints=hrnet_j,
                          model_name=hrnet_m, resolution=image_resolution,
                          batch_size=batch_size, half=half, int8=int8,

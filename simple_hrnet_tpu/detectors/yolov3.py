@@ -164,8 +164,12 @@ class YOLOv3:
                  max_detections: int = 32,
                  device=None,
                  dtype=None,
-                 phase_stem: Optional[bool] = None):
+                 phase_stem: Optional[bool] = None,
+                 quantize_int8: Optional[bool] = None):
         import os
+
+        if quantize_int8 is not None and dtype != 'int8':
+            raise ValueError("quantize_int8 only applies with dtype='int8'")
 
         if model_def.endswith('.cfg') and os.path.exists(model_def):
             self.blocks = darknet.parse_cfg(model_def)
@@ -215,9 +219,14 @@ class YOLOv3:
             # with the phase stem (PERF.md round 5) — so "int8" there
             # means the fastest mixed precision, which IS pure bf16
             # (same best-tactic semantics as a TRT engine).
+            # ``quantize_int8=True/False`` overrides the measured policy
+            # either way (e.g. a custom .cfg where the race goes the
+            # other direction).
             n_convs = sum(1 for b in self.blocks
                           if b['type'] == 'convolutional')
-            if n_convs >= 20:
+            if quantize_int8 is None:
+                quantize_int8 = n_convs >= 20
+            if quantize_int8:
                 self.params = self._quantize_int8(self.params, img_size)
             dtype = jnp.bfloat16
 

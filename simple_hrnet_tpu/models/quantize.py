@@ -137,11 +137,21 @@ def filter_amax(params: Params, amax: Dict[int, float],
         return amax
     paths = node_paths(params)
 
-    def excluded(path: str) -> bool:
-        return any(path == e or path.startswith(e + '.') for e in exclude)
+    def matches(path: str, e: str) -> bool:
+        return path == e or path.startswith(e + '.')
+
+    # A prefix that matches nothing is a silent accuracy-policy no-op
+    # (typo'd 'stage_4', wrong model) — fail loudly instead.
+    unmatched = [e for e in exclude
+                 if not any(matches(p, e) for p in paths.values())]
+    if unmatched:
+        groups = sorted({p.split('.')[0] for p in paths.values()})
+        raise ValueError(
+            f'int8_exclude prefixes {unmatched} match no conv param path '
+            f'in this model (top-level groups: {groups})')
 
     return {i: a for i, a in amax.items()
-            if not excluded(paths.get(i, ''))}
+            if not any(matches(paths.get(i, ''), e) for e in exclude)}
 
 
 def quantize_model(apply_fn: Callable, params: Params,

@@ -50,6 +50,9 @@ def export_engine(out_path: str, checkpoint_path: str, *, c: int = 48,
     from simple_hrnet_tpu.models import layers as L
     from simple_hrnet_tpu.utils import checkpoint as ckpt
 
+    if int8_exclude and not int8:
+        raise ValueError('int8_exclude only applies with int8=True '
+                         '(nothing is quantized otherwise)')
     params = L.fold_batch_norm(ckpt.load(checkpoint_path))
     if int8:
         half = True

@@ -268,7 +268,6 @@ def test_yolov3_int8(rng):
     quantization and run pure bf16 — measured faster than the quantized
     mix at every stem (PERF.md round 5) — while still detecting; the
     full graph's quantization is pinned in test_yolov3_int8_phase_stem."""
-    import jax.numpy as jnp_
     from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
 
     d8 = YOLOv3(model_def='yolov3-tiny', dtype='int8')
@@ -284,7 +283,7 @@ def test_yolov3_int8(rng):
                 count(v)
     count(d8.params)
     assert not qcount, 'tiny must skip quantization (bf16 measured faster)'
-    assert d8.dtype == jnp_.bfloat16
+    assert d8.dtype == jnp.bfloat16
 
     frames = rng.integers(0, 255, (2, 224, 320, 3), dtype=np.uint8)
     r8, v8 = d8._detect(jnp.asarray(frames, jnp.float32))
@@ -297,7 +296,6 @@ def test_yolov5_int8(rng):
     """YOLOv5(dtype='int8') runs pure bf16 — quantizing its small-channel
     C3 convs measured a net LOSS (7.26 vs 6.90 ms b8, PERF.md round 5) so
     'int8' resolves to the fastest mixed precision — and still detects."""
-    import jax.numpy as jnp_
     from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
 
     d8 = YOLOv5(model_def='yolov5n', img_size=320, dtype='int8')
@@ -311,7 +309,7 @@ def test_yolov5_int8(rng):
                 count(v)
     count(d8.params)
     assert not qcount, 'yolov5 must skip quantization (bf16 faster)'
-    assert d8.dtype == jnp_.bfloat16
+    assert d8.dtype == jnp.bfloat16
     frames = rng.integers(0, 255, (1, 224, 320, 3), dtype=np.uint8)
     rows, valid = d8._detect(jnp.asarray(frames, jnp.float32))
     assert rows.shape[0] == 1 and rows.shape[2] == 7
@@ -466,3 +464,84 @@ def _node_by_path(params, dotted):
     for k in dotted.split('.'):
         node = node[k]
     return node
+
+
+def test_filter_amax_unmatched_prefix_raises():
+    """The int8_exclude accuracy knob must fail loudly on a typo'd or
+    wrong-model prefix instead of silently quantizing everything."""
+    params = {'stage4': {'0': {'kernel': np.zeros((3, 3, 8, 8))}},
+              'conv1': {'kernel': np.zeros((3, 3, 3, 8))}}
+    amax = {i: 1.0 for i in Q.node_paths(params)}
+
+    kept = Q.filter_amax(params, amax, ('stage4',))
+    assert len(kept) == 1  # conv1 survives
+
+    with pytest.raises(ValueError, match='stage_4'):
+        Q.filter_amax(params, amax, ('stage_4',))
+    with pytest.raises(ValueError, match='Stage4'):
+        Q.filter_amax(params, amax, ('Stage4',))
+
+
+def test_int8_exclude_requires_int8_dtype(tmp_path):
+    """int8_exclude with dtype!='int8' is a misconfiguration (nothing is
+    quantized), not a silent no-op."""
+    from simple_hrnet_tpu.api import SimpleHRNet
+    with pytest.raises(ValueError, match='int8_exclude'):
+        SimpleHRNet(32, 17, str(tmp_path / 'absent.pth'),
+                    dtype='bfloat16', int8_exclude=('stage4',))
+
+
+def test_cli_export_exclude_parsing():
+    from simple_hrnet_tpu.cli.export import main, parse_int8_exclude
+    assert parse_int8_exclude('stage4, transition3') == (
+        'stage4', 'transition3')
+    assert parse_int8_exclude(' ') == ()
+    assert parse_int8_exclude(('stage4',)) == ('stage4',)
+    with pytest.raises(ValueError, match='int8_exclude'):
+        main(int8=False, int8_exclude='stage4')
+
+
+def test_yolov3_quantize_int8_override(rng):
+    """quantize_int8= overrides the measured graph-size policy both ways
+    (tiny normally skips PTQ; forcing it quantizes the eligible convs)."""
+    from simple_hrnet_tpu.detectors.yolov3 import YOLOv3
+
+    with pytest.raises(ValueError, match='quantize_int8'):
+        YOLOv3(model_def='yolov3-tiny', quantize_int8=True)
+
+    forced = YOLOv3(model_def='yolov3-tiny', img_size=320, dtype='int8',
+                    quantize_int8=True)
+    assert _count_quantized(forced.params), 'forced PTQ must quantize'
+    frames = rng.integers(0, 255, (1, 224, 320, 3), dtype=np.uint8)
+    r, v = forced._detect(jnp.asarray(frames, jnp.float32))
+    assert r.shape[0] == 1 and np.asarray(v).shape[0] == 1
+
+
+def test_yolov5_quantize_int8_override(rng):
+    """YOLOv5's measured policy (pure bf16 under 'int8') has the same
+    escape hatch as YOLOv3: quantize_int8=True runs the real PTQ path."""
+    from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
+
+    with pytest.raises(ValueError, match='quantize_int8'):
+        YOLOv5(model_def='yolov5n', quantize_int8=True)
+
+    forced = YOLOv5(model_def='yolov5n', img_size=320, dtype='int8',
+                    quantize_int8=True)
+    assert _count_quantized(forced.params), 'forced PTQ must quantize'
+    assert forced.dtype == jnp.bfloat16
+    frames = rng.integers(0, 255, (1, 224, 320, 3), dtype=np.uint8)
+    dets = forced.predict_single(frames[0])
+    assert dets is None or dets.shape[1] == 7
+
+
+def _count_quantized(params):
+    n = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if 'kernel_q' in t:
+                n.append(t)
+            for v in t.values():
+                walk(v)
+    walk(params)
+    return len(n)
