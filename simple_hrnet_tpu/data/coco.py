@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import random
 from collections import defaultdict
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
@@ -322,13 +322,8 @@ class COCODataset(HumanPoseEstimationDataset):
 
     # -- evaluation ---------------------------------------------------------
 
-    def evaluate_accuracy(self, output, target, params=None):
-        """PCK on heatmaps (NHWC), reference COCO.py:318-326."""
-        from simple_hrnet_tpu.utils import metrics
-        kw = {}
-        if params is not None:
-            kw = {'thr': params['thr']}
-        return metrics.evaluate_pck_accuracy(output, target, **kw)
+    # evaluate_accuracy (PCK, reference COCO.py:318-326) is inherited
+    # from HumanPoseEstimationDataset (data/base.py)
 
     def evaluate_overall_accuracy(self, predictions, bounding_boxes,
                                   image_paths, output_dir, rank=0.):

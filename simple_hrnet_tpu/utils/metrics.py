@@ -16,7 +16,7 @@ pycocotools IS importable it is used instead for bit-identical numbers.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -104,10 +104,35 @@ def compute_oks(gt_kpts: np.ndarray, gt_area: float, dt_kpts: np.ndarray,
     return oks
 
 
+def compute_oks_matrices(gts: Dict[int, List[dict]],
+                         dts: Dict[int, List[dict]],
+                         max_dets: int = 20) -> Dict[int, np.ndarray]:
+    """Per-image OKS matrices (D, G): detections score-sorted and
+    truncated to max_dets, GTs in their original list order. OKS is
+    threshold- and area-range-independent, so ONE pass serves every
+    ``coco_keypoint_ap`` call (pycocotools likewise computes ``self.ious``
+    once in evaluate() and reuses them across areaRng/iouThrs)."""
+    out: Dict[int, np.ndarray] = {}
+    for img in sorted(set(gts) | set(dts)):
+        gt_all = list(gts.get(img, []))
+        dt_list = sorted(dts.get(img, []),
+                         key=lambda d: -d['score'])[:max_dets]
+        if not dt_list or not gt_all:
+            continue
+        dt_kpts = np.stack([np.asarray(d['keypoints'], np.float64)
+                            for d in dt_list])
+        out[img] = np.stack([compute_oks(
+            np.asarray(g['keypoints'], np.float64), g['area'], dt_kpts,
+            gt_bbox=g.get('bbox')) for g in gt_all]).T      # (D, G)
+    return out
+
+
 def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
                      oks_thresholds: Optional[np.ndarray] = None,
                      area_range: Tuple[float, float] = (0, float('inf')),
-                     max_dets: int = 20) -> Tuple[float, float, np.ndarray]:
+                     max_dets: int = 20,
+                     ious: Optional[Dict[int, np.ndarray]] = None
+                     ) -> Tuple[float, float, np.ndarray]:
     """COCO-protocol keypoint AP/AR, matching COCOeval's algorithm exactly:
 
       * GTs are IGNORED (not removed) when crowd, keypoint-less, or outside
@@ -162,12 +187,17 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
         dt_out = np.asarray([d['area'] < area_range[0] or
                              d['area'] > area_range[1] for d in dt_list])
         if n_gt:
-            dt_kpts = np.stack([np.asarray(d['keypoints'], np.float64)
-                                for d in dt_list])
-            ious = np.stack([compute_oks(
-                np.asarray(g['keypoints'], np.float64), g['area'], dt_kpts,
-                gt_bbox=g.get('bbox'))
-                for g in gt_all]).T                      # (D, G)
+            if ious is not None:
+                # precomputed in original gt order; re-index the columns
+                # to this call's ignored-last ordering
+                iou_m = ious[img][:, order]
+            else:
+                dt_kpts = np.stack([np.asarray(d['keypoints'], np.float64)
+                                    for d in dt_list])
+                iou_m = np.stack([compute_oks(
+                    np.asarray(g['keypoints'], np.float64), g['area'],
+                    dt_kpts, gt_bbox=g.get('bbox'))
+                    for g in gt_all]).T                  # (D, G)
         tp = np.zeros((n_dt, t_count), bool)
         ig = np.zeros((n_dt, t_count), bool)
         for ti, thr in enumerate(oks_thresholds):
@@ -180,9 +210,9 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
                         continue
                     if m >= 0 and not gt_ig[m] and gt_ig[gi]:
                         break  # regular match in hand; rest are ignored
-                    if ious[di, gi] < iou:
+                    if iou_m[di, gi] < iou:
                         continue
-                    iou = ious[di, gi]
+                    iou = iou_m[di, gi]
                     m = gi
                 if m >= 0:
                     gt_matched[m] = di
@@ -275,13 +305,17 @@ def coco_eval_native(gt_annotations: dict, results: List[dict]
     med = (32 ** 2, 96 ** 2)
     big = (96 ** 2, 1e5 ** 2)
     thrs = np.linspace(0.5, 0.95, 10)
-    ap, ar, ap_t = coco_keypoint_ap(gts, dts, thrs, area_range=(0, 1e5 ** 2))
-    ap_m, ar_m, _ = coco_keypoint_ap(gts, dts, thrs, area_range=med)
-    ap_l, ar_l, _ = coco_keypoint_ap(gts, dts, thrs, area_range=big)
+    shared = compute_oks_matrices(gts, dts)  # one OKS pass for all 5 calls
+    ap, ar, ap_t = coco_keypoint_ap(gts, dts, thrs, area_range=(0, 1e5 ** 2),
+                                    ious=shared)
+    ap_m, ar_m, _ = coco_keypoint_ap(gts, dts, thrs, area_range=med,
+                                     ious=shared)
+    ap_l, ar_l, _ = coco_keypoint_ap(gts, dts, thrs, area_range=big,
+                                     ious=shared)
     ap50, ar50, _ = coco_keypoint_ap(gts, dts, np.asarray([0.5]),
-                                     area_range=(0, 1e5 ** 2))
+                                     area_range=(0, 1e5 ** 2), ious=shared)
     ap75, ar75, _ = coco_keypoint_ap(gts, dts, np.asarray([0.75]),
-                                     area_range=(0, 1e5 ** 2))
+                                     area_range=(0, 1e5 ** 2), ious=shared)
     return {'AP': ap, 'Ap .5': ap50, 'AP .75': ap75, 'AP (M)': ap_m,
             'AP (L)': ap_l, 'AR': ar, 'AR .5': ar50, 'AR .75': ar75,
             'AR (M)': ar_m, 'AR (L)': ar_l}
@@ -297,6 +331,7 @@ def _kpt_area(kp: np.ndarray) -> float:
 
 def _pycocotools_eval(gt_annotations: dict, results: List[dict]):
     import json
+    import os
     import tempfile
 
     from pycocotools.coco import COCO
@@ -305,7 +340,12 @@ def _pycocotools_eval(gt_annotations: dict, results: List[dict]):
     with tempfile.NamedTemporaryFile('w', suffix='.json', delete=False) as f:
         json.dump(gt_annotations, f)
         gt_path = f.name
-    coco = COCO(gt_path)
+    try:
+        # COCO() parses the file in its constructor; unlink immediately so
+        # per-epoch evals don't leak one large GT json to /tmp each call
+        coco = COCO(gt_path)
+    finally:
+        os.unlink(gt_path)
     coco_dt = coco.loadRes(results)
     ev = COCOeval(coco, coco_dt, 'keypoints')
     ev.evaluate()
@@ -330,10 +370,15 @@ def evaluate_pckh(preds: np.ndarray, gts: np.ndarray, vis: np.ndarray,
     """PCKh@thr: fraction of visible joints within thr * head size.
 
     preds/gts: (N, 16, 2) original-image (x, y); vis: (N, 16) 0/1;
-    head_sizes: (N,). Follows the official MPII protocol (per-joint
-    correctness normalized by the annotated head size; left/right sides
-    pooled per joint name in the aggregate table). Returns a dict of
-    per-joint-name PCKh values plus 'Mean'.
+    head_sizes: (N,). Follows the official MPII protocol (the evaluation
+    shipped with the MPII toolkit / HRNet's validate tools): per-joint
+    PCKh normalized by the annotated head size; the per-name table
+    AVERAGES the left/right sides' percentages (0.5*(L+R), not a
+    visible-count pool); 'Mean' is the visible-count-weighted mean over
+    the 16 joints with pelvis (6) and thorax (7) MASKED OUT
+    (`PCKh.mask[6:8]` in the official script — they sit on the torso
+    centerline and are near-saturated, so including them inflates the
+    headline). Returns a dict of per-joint-name PCKh values plus 'Mean'.
     """
     preds = np.asarray(preds, np.float64)
     gts = np.asarray(gts, np.float64)
@@ -342,12 +387,17 @@ def evaluate_pckh(preds: np.ndarray, gts: np.ndarray, vis: np.ndarray,
 
     dist = np.linalg.norm(preds - gts, axis=-1) / head[:, None]  # (N, 16)
     correct = (dist <= thr) & vis
+    n_vis_j = vis.sum(axis=0)                                    # (16,)
+    pckh_j = np.where(n_vis_j > 0,
+                      correct.sum(axis=0) / np.maximum(n_vis_j, 1), 0.0)
 
     out = {}
     for name in dict.fromkeys(MPII_JOINT_NAMES):  # keep order, dedupe
-        idx = [i for i, n in enumerate(MPII_JOINT_NAMES) if n == name]
-        n_vis = vis[:, idx].sum()
-        out[name] = float(correct[:, idx].sum() / n_vis) if n_vis else 0.0
-    total_vis = vis.sum()
-    out['Mean'] = float(correct.sum() / total_vis) if total_vis else 0.0
+        idx = [i for i, n in enumerate(MPII_JOINT_NAMES)
+               if n == name and n_vis_j[i] > 0]
+        out[name] = float(np.mean(pckh_j[idx])) if idx else 0.0
+    keep = n_vis_j > 0
+    keep[6:8] = False  # pelvis + thorax out of Mean (official mask)
+    out['Mean'] = float((pckh_j[keep] * n_vis_j[keep]).sum()
+                        / n_vis_j[keep].sum()) if keep.any() else 0.0
     return out

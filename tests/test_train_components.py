@@ -343,3 +343,74 @@ def test_weight_decay_skips_bn_running_stats():
     assert float(np.asarray(new['conv1']['kernel'])[0, 0, 0, 0]) < 1.0
     assert float(np.asarray(new['bn1']['scale'])[0]) < 1.0
     assert float(np.asarray(new['bn1']['bias'])[0]) < 1.0
+
+
+def test_coco_ap_shared_ious_equivalence(rng):
+    """compute_oks_matrices + ious= must reproduce the inline-OKS path
+    exactly at every threshold set and area range (pycocotools computes
+    ious once in evaluate() the same way)."""
+    from simple_hrnet_tpu.utils import metrics as M
+
+    def rand_person(img_w=640, img_h=480):
+        base = rng.uniform((50, 50), (img_w - 50, img_h - 50))
+        kp = np.concatenate([base + rng.normal(0, 30, (17, 2)),
+                             rng.integers(0, 3, (17, 1))], axis=1)
+        return kp
+
+    gts = {}
+    dts = {}
+    for img in range(6):
+        n_gt = int(rng.integers(0, 4))
+        gts[img] = [{'keypoints': rand_person(),
+                     'area': float(rng.uniform(500, 12000)),
+                     'iscrowd': bool(rng.integers(0, 5) == 0),
+                     'bbox': [100.0, 100.0, 120.0, 200.0]}
+                    for _ in range(n_gt)]
+        n_dt = int(rng.integers(0, 5))
+        dts[img] = [{'keypoints': rand_person(),
+                     'area': float(rng.uniform(500, 12000)),
+                     'score': float(rng.uniform(0.1, 1.0))}
+                    for _ in range(n_dt)]
+
+    shared = M.compute_oks_matrices(gts, dts)
+    for thrs in (None, np.asarray([0.5]), np.asarray([0.75])):
+        for rng_a in ((0, 1e5 ** 2), (32 ** 2, 96 ** 2)):
+            a = M.coco_keypoint_ap(gts, dts, thrs, area_range=rng_a)
+            b = M.coco_keypoint_ap(gts, dts, thrs, area_range=rng_a,
+                                   ious=shared)
+            assert a[0] == b[0] and a[1] == b[1]
+            np.testing.assert_array_equal(a[2], b[2])
+
+
+def test_pckh_official_protocol():
+    """'Mean' excludes pelvis/thorax (official PCKh.mask[6:8]) and the
+    per-name table averages the two sides' percentages instead of pooling
+    by visible count."""
+    from simple_hrnet_tpu.utils import metrics as M
+
+    n = 4
+    gts = np.tile(np.arange(16, dtype=np.float64)[None, :, None] * 10,
+                  (n, 1, 2))
+    vis = np.ones((n, 16))
+    heads = np.full(n, 10.0)
+
+    # all perfect except pelvis (6): Mean must IGNORE the pelvis miss
+    preds = gts.copy()
+    preds[:, 6, :] += 1000.0
+    out = M.evaluate_pckh(preds, gts, vis, heads)
+    assert out['Mean'] == 1.0 and out['Pelvis'] == 0.0
+
+    # left ankle (0) always wrong, right ankle (5) always right, but the
+    # right side has 3x the visible samples: the official table averages
+    # the SIDES (0.5), a visible-count pool would give 0.75
+    preds2 = gts.copy()
+    preds2[:, 0, :] += 1000.0
+    vis2 = np.ones((n, 16))
+    vis2[1:, 0] = 0  # left ankle visible once, right ankle 4x
+    out2 = M.evaluate_pckh(preds2, gts, vis2, heads)
+    assert out2['Ankle'] == 0.5
+    # a head (9) miss DOES hit Mean
+    preds3 = gts.copy()
+    preds3[:, 9, :] += 1000.0
+    out3 = M.evaluate_pckh(preds3, gts, vis, heads)
+    assert out3['Mean'] < 1.0 and out3['Head'] == 0.0
