@@ -37,7 +37,11 @@ def _buckets(n: int, max_batch: int, multiple: int = 1) -> int:
     ``multiple`` forces divisibility (mesh size for sharded inference).
     """
     b = max(1, multiple)
-    cap = max(max_batch, multiple)
+    # round the cap DOWN to a multiple so the clamped bucket stays
+    # mesh-divisible (max_batch_size=20 on an 8-device mesh would
+    # otherwise return 20, which the 'data' axis cannot shard)
+    cap = max(multiple, (max_batch // multiple) * multiple) \
+        if multiple > 1 else max(max_batch, 1)
     while b < n and b < cap:
         b *= 2
     return min(b, cap)
@@ -122,6 +126,10 @@ class SimpleHRNet:
         replaces torch.device; multi-chip replication is exposed via
         ``simple_hrnet_tpu.parallel`` rather than a 'cuda:0,1' string.
       * ``yolo_model_def``: 'yolov3', 'yolov3-tiny', or a darknet .cfg path.
+      * ``yolo_max_detections``: the detector's static row capacity
+        (default 32); ``predict_stream(max_people=N)`` requires N <= this
+        (the fused graphs raise otherwise — larger caps cost detector NMS
+        time, so it is explicit rather than auto-grown).
       * ``enable_tensorrt`` is accepted for API compatibility; the XLA jit
         path *is* the optimized engine (see cli/export.py for AOT export).
       * extra ``dtype``: None (f32), 'bfloat16' for bf16 conv compute, or
@@ -160,11 +168,23 @@ class SimpleHRNet:
                  use_fused_kernels: bool = True,
                  mesh=None,
                  calibration_images=None,
-                 int8_exclude=()):
+                 int8_exclude=(),
+                 yolo_max_detections: int = 32):
         self.c = c
         # int8 calibration data: iterable of HWC RGB uint8/float frames
         # (resized internally); None -> smooth synthetic frames
         self.calibration_images = calibration_images
+        if calibration_images is not None and dtype != 'int8':
+            raise ValueError("calibration_images only applies with "
+                             "dtype='int8' (nothing is calibrated "
+                             'otherwise)')
+        if interpolation not in ('cubic', None, 2, 'linear', 'bilinear', 1,
+                                 'bilinear_aa'):
+            raise ValueError(
+                f'Unsupported interpolation {interpolation!r}: expected '
+                "'cubic'/cv2.INTER_CUBIC (default, the reference's "
+                "SimpleHRNet.py:216), 'linear'/cv2.INTER_LINEAR, or "
+                "'bilinear_aa' (PIL transforms.Resize semantics)")
         # accuracy-policy knob (PERF.md round-5 sensitivity sweep): param
         # groups kept OUT of int8, e.g. int8_exclude=('stage4',) keeps the
         # decode-head-adjacent stage bf16 (the measured accuracy-hot group)
@@ -322,12 +342,14 @@ class SimpleHRNet:
                                        class_path=yolo_class_path,
                                        weights_path=yolo_weights_path,
                                        max_batch_size=max_batch_size,
+                                       max_detections=yolo_max_detections,
                                        dtype='int8' if self.quantize_int8
                                        else self.dtype)
             elif yolo_version == 'v5':
                 from simple_hrnet_tpu.detectors.yolov5 import YOLOv5
                 self.detector = YOLOv5(model_def=yolo_model_def,
                                        max_batch_size=max_batch_size,
+                                       max_detections=yolo_max_detections,
                                        dtype='int8' if self.quantize_int8
                                        else self.dtype)
             else:
@@ -382,7 +404,15 @@ class SimpleHRNet:
             for d in jax.devices():
                 if (name == 'cpu') == (d.platform == 'cpu'):
                     return d
-            return jax.devices(name)[0] if name == 'cpu' else jax.devices()[0]
+            if name == 'cpu':
+                return jax.devices('cpu')[0]
+            # never silently serve on CPU when a TPU was requested —
+            # the benchmarked numbers would be wrong by orders of
+            # magnitude with no error anywhere
+            raise RuntimeError(
+                "device='tpu' requested but no accelerator device is "
+                f'visible (jax.devices() = {jax.devices()}); pass '
+                "device='cpu' explicitly to run on the host")
         raise ValueError(f'Wrong device name: {device!r}')
 
     # ------------------------------------------------------------------
@@ -412,7 +442,10 @@ class SimpleHRNet:
                 elif cubic:
                     resized = I.resize_cubic(rgb, (res_h, res_w))
                 else:
-                    resized = I.resize_bilinear(rgb, (res_h, res_w))
+                    # 'linear'/cv2.INTER_LINEAR (__init__ validated the
+                    # set): the cv2-exact edge-clamped matmul resampler,
+                    # not the zero-filling gather fallback
+                    resized = I.resize_linear(rgb, (res_h, res_w))
                 # the reference resizes the uint8 frame (cv2 saturate-casts
                 # back to uint8, SimpleHRNet.py:216-220) before ToTensor
                 resized = jnp.round(resized)
@@ -577,6 +610,13 @@ class SimpleHRNet:
         if key in self._fused_jit:
             return self._fused_jit[key]
 
+        det_cap = getattr(self.detector, 'max_detections', max_people)
+        if max_people > det_cap:
+            raise ValueError(
+                f'max_people={max_people} exceeds the detector\'s '
+                f'max_detections={det_cap} — the detector can never fill '
+                f'those slots; construct SimpleHRNet('
+                f'yolo_max_detections={max_people}) or lower max_people')
         det_fn = self.detector.pure_fn(in_hw)
         res_h, res_w = self.resolution
         aspect = res_h / res_w
@@ -640,6 +680,15 @@ class SimpleHRNet:
         if key in self._fused_jit:
             return self._fused_jit[key]
 
+        det_cap = getattr(self.detector, 'max_detections', max_people)
+        if max_people > det_cap:
+            # same guard as _get_fused_frames: rows[:, :max_people] would
+            # silently truncate at det_cap, diverging from the fixed-slot
+            # stream this path promises to match
+            raise ValueError(
+                f'max_people={max_people} exceeds the detector\'s '
+                f'max_detections={det_cap}; construct SimpleHRNet('
+                f'yolo_max_detections={max_people}) or lower max_people')
         det_fn = self.detector.pure_fn(in_hw)
 
         @jax.jit
@@ -801,10 +850,15 @@ class SimpleHRNet:
                 res.append(np.asarray(pts, np.float32))
                 return res if len(res) > 1 else res[0]
 
+            # under a mesh the batch axis must divide the 'data' axis:
+            # replicate the frame across devices, keep row 0 (same scheme
+            # as _predict_single)
+            mult = self.mesh.size if self.mesh is not None else 1
             for frame in frames:
-                run = self._get_single(frame.shape[:2], 1)
-                hm, pts = run(self.params, frame[None])
-                pending.append((hm, pts, frame.shape))
+                run = self._get_single(frame.shape[:2], mult)
+                hm, pts = run(self.params,
+                              np.broadcast_to(frame, (mult, *frame.shape)))
+                pending.append((hm[:1], pts[:1], frame.shape))
                 if len(pending) > prefetch:
                     yield finish_sp(pending.popleft())
             while pending:

@@ -42,7 +42,10 @@ def main(format=None, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
         resolution=image_resolution, multiperson=not single_person,
         max_batch_size=max_batch_size, yolo_version=yolo_version,
         yolo_model_def=yolo_model_def, device=device,
-        enable_tensorrt=enable_tensorrt)
+        enable_tensorrt=enable_tensorrt,
+        # the stream serves max_people=max_batch_size people slots; the
+        # detector must be able to fill them
+        yolo_max_detections=max(32, max_batch_size))
 
     csv_file = csv_writer = None
     if format == 'csv':

@@ -58,7 +58,10 @@ def main(camera_id=0, filename=None, hrnet_m='HRNet', hrnet_c=48, hrnet_j=17,
         return_bounding_boxes=not disable_tracking,
         max_batch_size=max_batch_size, yolo_version=yolo_version,
         yolo_model_def=yolo_model_def, device=device,
-        enable_tensorrt=enable_tensorrt)
+        enable_tensorrt=enable_tensorrt,
+        # the stream serves max_people=max_batch_size people slots; the
+        # detector must be able to fill them
+        yolo_max_detections=max(32, max_batch_size))
 
     video_writer = None
     prev_boxes = prev_pts = prev_person_ids = None

@@ -54,7 +54,9 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
-        self.prefetch_batches = prefetch_batches
+        # floor of 1: queue.Queue(maxsize=0) means UNBOUNDED — a user's
+        # "no prefetch" would let the producer materialize the whole epoch
+        self.prefetch_batches = max(1, prefetch_batches)
         self.collate_fn = collate_fn
         self._epoch = 0
 

@@ -137,6 +137,9 @@ class MPIIDataset(HumanPoseEstimationDataset):
         import cv2
 
         joints_data = dict(self.data[index])
+        # dataset row id, so PCKh evaluation can match predictions to THEIR
+        # annotations even off a shuffled loader (MPIITrain collects these)
+        joints_data['index'] = index
         image = cv2.imread(joints_data['imgPath'],
                            cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
         if image is None:
@@ -208,21 +211,28 @@ class MPIIDataset(HumanPoseEstimationDataset):
     # -- evaluation ----------------------------------------------------------
 
     def evaluate_overall_accuracy(self, predictions, bounding_boxes,
-                                  image_paths, output_dir, rank=0.):
+                                  image_paths, output_dir, rank=0.,
+                                  indices=None):
         """PCKh@0.5 over final (original-coordinate) predictions.
 
         Same call signature as COCODataset.evaluate_overall_accuracy so the
         COCOTrain-style harness works unchanged; returns (per-joint +
-        aggregate dict, mean PCKh) instead of AP.
+        aggregate dict, mean PCKh) instead of AP. ``indices`` gives each
+        prediction's dataset row (MPIITrain collects them from the batches'
+        joints_data['index']); without it predictions are matched
+        positionally, which is only valid off an order-preserving
+        (non-shuffled, non-drop_last) loader.
         """
         from simple_hrnet_tpu.utils import metrics
 
         preds = np.asarray(predictions)[..., :2]  # (N, 16, (x, y))
-        gts = np.stack([d['joints'] for d in self.data[:len(preds)]])
-        vis = np.stack([d['joints_visibility'][:, 0]
-                        for d in self.data[:len(preds)]])
-        heads = np.asarray([self.head_size(d) for d in
-                            self.data[:len(preds)]])
+        if indices is not None:
+            rows = [self.data[int(i)] for i in indices]
+        else:
+            rows = self.data[:len(preds)]
+        gts = np.stack([d['joints'] for d in rows])
+        vis = np.stack([d['joints_visibility'][:, 0] for d in rows])
+        heads = np.asarray([self.head_size(d) for d in rows])
         stats = metrics.evaluate_pckh(preds, gts, vis, heads)
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir,

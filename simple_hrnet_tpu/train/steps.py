@@ -25,8 +25,14 @@ def _dtype_kw(dtype) -> dict:
     if dtype is None:
         return {}
     if isinstance(dtype, str):
-        dtype = {'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16,
-                 'float32': None, 'f32': None}[dtype]
+        table = {'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16,
+                 'float32': None, 'f32': None}
+        if dtype not in table:
+            raise ValueError(
+                f'Unsupported training dtype {dtype!r}; expected one of '
+                f"{sorted(table)} (int8 is a serving-only knob — "
+                "SimpleHRNet(dtype='int8'))")
+        dtype = table[dtype]
     return {} if dtype is None else {'dtype': dtype}
 
 
@@ -69,19 +75,23 @@ def _batch_inputs(batch, device_targets):
 def make_train_step(apply_fn: Callable, loss_fn: Callable,
                     optimizer: optax.GradientTransformation,
                     mesh=None, donate: bool = True, dtype=None,
-                    device_targets=None) -> Callable:
+                    device_targets=None,
+                    bn_momentum: float = L.BN_MOMENTUM) -> Callable:
     """Build the jitted train step.
 
     apply_fn(params, x, train=True, stats=dict) -> heatmaps (NHWC).
     Batch dict: image (N,H,W,C), target (N,h,w,J), target_weight (N,J,1).
     ``dtype='bfloat16'``/jnp.bfloat16 runs conv compute in bf16 with f32
     master params, f32 BN statistics and an f32 loss/head (mixed precision;
-    the reference trains f32-only). Returns (params, opt_state, loss, out).
+    the reference trains f32-only). ``bn_momentum`` is the torch-semantics
+    running-stat momentum (Train's model_bn_momentum).
+    Returns (params, opt_state, loss, out).
 
     With ``device_targets`` (a config dict, see ``_batch_inputs``) the batch
-    instead carries {image-in-[0,1], joints, joints_vis} and normalization +
-    gaussian target generation run in-graph; the step then ALSO returns the
-    generated target: (params, opt_state, loss, out, target).
+    instead carries {RAW [0, 255] image, joints, joints_vis} and ImageNet
+    normalization + gaussian target generation run in-graph; the step then
+    ALSO returns the generated target: (params, opt_state, loss, out,
+    target).
     """
     fwd_kw = _dtype_kw(dtype)
 
@@ -100,7 +110,8 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # running BN stats (torch momentum semantics, layers.py)
-        params = L.update_running_stats(params, stats)
+        params = L.update_running_stats(params, stats,
+                                        momentum=bn_momentum)
         if device_targets is not None:
             return params, opt_state, loss, out, target
         return params, opt_state, loss, out

@@ -46,7 +46,11 @@ class Test:
                                           resnet_size=model_c,
                                           nof_joints=model_nof_joints)
         if checkpoint_path is not None:
-            self.params = ckpt.load(checkpoint_path)
+            # ckpt.load returns a numpy pytree; put it on device ONCE —
+            # otherwise every eval step re-uploads the full ~250 MB (W48)
+            # parameter tree host->device
+            self.params = jax.tree_util.tree_map(jax.numpy.asarray,
+                                                 ckpt.load(checkpoint_path))
 
         self.loss_fn = losses_mod.get_loss(loss)
         flip_pairs = getattr(ds_test, 'flip_pairs', None) \
@@ -69,12 +73,24 @@ class Test:
             batch = {'image': np.asarray(image),
                      'target': np.asarray(target),
                      'target_weight': np.asarray(target_weight)}
+            true_n = batch['image'].shape[0]
+            pad = 0
             if self.mesh is not None:
+                # keep axis 0 mesh-divisible on the final partial batch
+                # (and at the default batch_size=1) by repeating the last
+                # sample; outputs are trimmed below
+                pad = (-true_n) % self.mesh.shape['data']
+                if pad:
+                    batch = {k: np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)])
+                        for k, v in batch.items()}
                 from simple_hrnet_tpu.parallel import shard_batch
                 batch = shard_batch(batch, self.mesh)
             loss, output = self._eval_step(self.params, batch)
+            output = np.asarray(output)[:true_n]
             accs, avg_acc, cnt, joints_preds, joints_target = \
-                self.ds_test.evaluate_accuracy(output, batch['target'])
+                self.ds_test.evaluate_accuracy(
+                    output, np.asarray(batch['target'])[:true_n])
             self.mean_loss_test += float(loss)
             self.mean_acc_test += float(avg_acc)
         self.mean_loss_test /= self.len_dl_test

@@ -166,12 +166,13 @@ class Train:
             print(f'Resuming from epoch {self.epoch}')
 
         # device_targets: the datasets emit the raw pipeline tail
-        # (image-in-[0,1], joints, joints_vis) and ImageNet normalize +
-        # gaussian target generation run inside the jitted step
-        # (steps.py:_batch_inputs) — the host sheds per-sample normalize,
-        # the 470 KB/sample target stamp/collate, and its transfer
+        # (RAW [0, 255] image off the host warp, joints, joints_vis) and
+        # ImageNet normalize + gaussian target generation run inside the
+        # jitted step (steps.py:_batch_inputs) — the host sheds per-sample
+        # normalize, the 470 KB/sample target stamp/collate, and its
+        # transfer
         self.device_targets = device_targets
-        dt_cfg = None
+        dt_cfg = dt_cfg_val = None
         if device_targets:
             if not getattr(ds_train, 'device_targets', False) or (
                     ds_val is not None
@@ -181,41 +182,56 @@ class Train:
                     'with device_targets=True (they must emit the raw '
                     'pipeline tail); a host-target ds_val would fail with '
                     'an opaque shape error inside the jitted eval step')
-            jw = ds_train.joints_weight \
-                if getattr(ds_train, 'use_different_joints_weight', False) \
-                else None
-            dt_cfg = {
-                'heatmap_size': tuple(ds_train.heatmap_size),
-                'image_size': tuple(ds_train.image_size),
-                'heatmap_sigma': ds_train.heatmap_sigma,
-                'joints_weight': None if jw is None
-                else np.asarray(jw, np.float32),
-            }
+
+            def _dt_cfg(ds):
+                # each step stamps targets with ITS dataset's geometry —
+                # ds_val may differ from ds_train in sigma/joints_weight
+                jw = ds.joints_weight \
+                    if getattr(ds, 'use_different_joints_weight', False) \
+                    else None
+                return {
+                    'heatmap_size': tuple(ds.heatmap_size),
+                    'image_size': tuple(ds.image_size),
+                    'heatmap_sigma': ds.heatmap_sigma,
+                    'joints_weight': None if jw is None
+                    else np.asarray(jw, np.float32),
+                }
+
+            dt_cfg = _dt_cfg(ds_train)
+            dt_cfg_val = _dt_cfg(ds_val) if ds_val is not None else dt_cfg
 
         # bf16 conv compute with f32 master params when dtype='bfloat16';
         # donated buffers let XLA update params/opt_state in place
         self._train_step = steps_mod.make_train_step(
             self.apply_fn, self.loss_fn, self.optimizer, mesh=mesh,
-            donate=True, dtype=dtype, device_targets=dt_cfg)
+            donate=True, dtype=dtype, device_targets=dt_cfg,
+            bn_momentum=model_bn_momentum)
         flip_pairs = getattr(ds_val, 'flip_pairs', None) \
             if flip_test_images else None
         self._eval_step = steps_mod.make_eval_step(
             self.apply_fn, self.loss_fn, flip_pairs=flip_pairs, mesh=mesh,
-            dtype=dtype, device_targets=dt_cfg)
+            dtype=dtype, device_targets=dt_cfg_val)
 
         if mesh is not None:
             from simple_hrnet_tpu.parallel import replicate
             self.params = replicate(self.params, mesh)
             self.opt_state = replicate(self.opt_state, mesh)
 
-        self.best_loss = None
-        self.best_acc = None
-        self.best_mAP = None
+        # best-metric state is restored from the checkpoint on resume so a
+        # post-resume epoch can't silently overwrite params_best_*.npz with
+        # a worse model (the bests would otherwise reset to None)
+        resumed = cfg if checkpoint_path is not None else {}
+        self.best_loss = (resumed or {}).get('best_loss')
+        self.best_acc = (resumed or {}).get('best_acc')
+        self.best_mAP = (resumed or {}).get('best_mAP')
         self.mean_loss_train = 0.
         self.mean_acc_train = 0.
         self.mean_loss_val = 0.
         self.mean_acc_val = 0.
-        self.mean_mAP_val = 0.
+        # None until a subclass actually computes an overall metric —
+        # the base trainer must not emit a params_best_mAP.npz for a
+        # metric it never produced
+        self.mean_mAP_val = None
 
     # -- hooks for subclasses ----------------------------------------------
 
@@ -270,12 +286,30 @@ class Train:
         self.mean_acc_val = 0.
         for step, (image, second, third, joints_data) in enumerate(
                 self.dl_val):
+            # the val loader keeps the final partial batch (no drop_last);
+            # under a mesh its axis 0 must stay divisible by the data axis,
+            # so pad by repeating the last sample and trim the outputs —
+            # only that one batch's logged loss includes the duplicates
+            true_n = np.asarray(image).shape[0]
+            pad = 0
+            if self.mesh is not None:
+                pad = (-true_n) % self.mesh.shape['data']
+                if pad:
+                    image, second, third = (
+                        np.concatenate(
+                            [np.asarray(a),
+                             np.repeat(np.asarray(a)[-1:], pad, axis=0)])
+                        for a in (image, second, third))
             batch = self._make_batch(image, second, third)
             if self.device_targets:
                 loss, output, target = self._eval_step(self.params, batch)
             else:
                 loss, output = self._eval_step(self.params, batch)
                 target = batch['target']
+            if pad:
+                image = np.asarray(image)[:true_n]
+                output = np.asarray(output)[:true_n]
+                target = np.asarray(target)[:true_n]
             accs, avg_acc, cnt, joints_preds, joints_target = \
                 self.ds_val.evaluate_accuracy(output, target)
             self.mean_loss_val += float(loss)
@@ -311,13 +345,6 @@ class Train:
 
     def _checkpoint(self):
         """last + best loss/acc/mAP (Train.py:313-332), orbax + npz params."""
-        ckpt.save_train(os.path.join(self.log_path, 'checkpoint_last'),
-                        self.epoch + 1, self.params, self.opt_state,
-                        config={'epoch': self.epoch + 1,
-                                'model_c': self.model_c,
-                                'nof_joints': self.model_nof_joints})
-        ckpt.save(os.path.join(self.log_path, 'params_last.npz'), self.params)
-
         if self.best_loss is None or self.best_loss > self.mean_loss_val:
             self.best_loss = self.mean_loss_val
             print(f'best_loss {self.best_loss:f} at epoch {self.epoch + 1}')
@@ -328,11 +355,26 @@ class Train:
             print(f'best_acc {self.best_acc:f} at epoch {self.epoch + 1}')
             ckpt.save(os.path.join(self.log_path, 'params_best_acc.npz'),
                       self.params)
-        if self.best_mAP is None or self.best_mAP < self.mean_mAP_val:
+        # mAP best only when the trainer actually produced the metric
+        # (COCOTrain/MPIITrain set mean_mAP_val; base Train leaves None)
+        if self.mean_mAP_val is not None and (
+                self.best_mAP is None or self.best_mAP < self.mean_mAP_val):
             self.best_mAP = self.mean_mAP_val
             print(f'best_mAP {self.best_mAP:f} at epoch {self.epoch + 1}')
             ckpt.save(os.path.join(self.log_path, 'params_best_mAP.npz'),
                       self.params)
+
+        # checkpoint_last carries the UPDATED bests so auto-resume keeps
+        # guarding the params_best_*.npz files
+        ckpt.save_train(os.path.join(self.log_path, 'checkpoint_last'),
+                        self.epoch + 1, self.params, self.opt_state,
+                        config={'epoch': self.epoch + 1,
+                                'model_c': self.model_c,
+                                'nof_joints': self.model_nof_joints,
+                                'best_loss': self.best_loss,
+                                'best_acc': self.best_acc,
+                                'best_mAP': self.best_mAP})
+        ckpt.save(os.path.join(self.log_path, 'params_last.npz'), self.params)
 
     def run(self):
         """Epoch loop (Train.py:334-370)."""
@@ -404,9 +446,32 @@ class COCOTrain(Train):
 class MPIITrain(COCOTrain):
     """MPII trainer: identical epoch-pred accumulation (final preds in
     original image coordinates), but the dataset's overall metric is
-    PCKh@0.5 (data/mpii.py) instead of COCO AP. Meaningful on an
-    order-preserving (non-shuffled) loader — the official MPII protocol
-    matches predictions to annotations positionally."""
+    PCKh@0.5 (data/mpii.py) instead of COCO AP. Predictions are matched
+    to their annotations by the dataset row id each batch carries
+    (joints_data['index']), so the metric survives the shuffled drop_last
+    train loader; train-mode PCKh remains approximate for flipped/rotated
+    samples (the un-warp ignores the augmentation, like the reference's
+    train-AP accumulation) — the val number is the meaningful one."""
+
+    def _reset_epoch_preds(self):
+        super()._reset_epoch_preds()
+        self._indices = []
+
+    def _accumulate(self, output, joints_data):
+        super()._accumulate(output, joints_data)
+        if 'index' in joints_data:
+            self._indices.extend(
+                int(i) for i in np.asarray(joints_data['index']).ravel())
+
+    def _overall(self, ds):
+        if not self._all_preds:
+            return {}, 0.0
+        preds = np.concatenate(self._all_preds)
+        boxes = np.concatenate(self._all_boxes)
+        idx = self._indices if len(self._indices) == len(preds) else None
+        return ds.evaluate_overall_accuracy(
+            preds, boxes, self._image_paths, output_dir=self.log_path,
+            indices=idx)
 
     def _train(self):
         self._reset_epoch_preds()

@@ -865,3 +865,44 @@ def test_warmup_compact_buckets(w32_checkpoint):
     assert len(out) == 4
     assert len(model._fused_jit) == n_fused
     assert len(model._crop_jit) == n_crop
+
+
+def test_facade_misconfigurations_raise(w32_checkpoint):
+    """Silent-no-op knobs must fail loudly (review round 5): unsupported
+    interpolation codes, calibration_images without int8, device='tpu' on
+    a CPU-only host, and max_people beyond the detector's row capacity."""
+    import pytest
+    from simple_hrnet_tpu.api import SimpleHRNet
+
+    path, _ = w32_checkpoint
+    with pytest.raises(ValueError, match='interpolation'):
+        SimpleHRNet(32, 17, path, interpolation=0)  # INTER_NEAREST
+    with pytest.raises(ValueError, match='calibration_images'):
+        SimpleHRNet(32, 17, path, dtype='bfloat16',
+                    calibration_images=[np.zeros((64, 64, 3))])
+    with pytest.raises(RuntimeError, match='tpu'):
+        SimpleHRNet(32, 17, path, device='tpu')  # tests force CPU
+
+    m = SimpleHRNet(32, 17, path, resolution=(64, 64),
+                    multiperson=True, yolo_model_def='yolov3-tiny')
+    with pytest.raises(ValueError, match='max_detections'):
+        m._get_fused_frames((64, 64), 64, 1)
+    with pytest.raises(ValueError, match='max_detections'):
+        m._get_detect_rows((64, 64), 1, 64)
+    # raising the detector cap lifts the guard (jit builds lazily)
+    m2 = SimpleHRNet(32, 17, path, resolution=(64, 64),
+                     multiperson=True, yolo_model_def='yolov3-tiny',
+                     yolo_max_detections=64)
+    assert callable(m2._get_fused_frames((64, 64), 64, 1))
+
+
+def test_buckets_mesh_divisible():
+    """_buckets must return mesh-divisible sizes even when max_batch_size
+    isn't a multiple of the mesh (20 on an 8-device mesh -> 16, not 20)."""
+    from simple_hrnet_tpu.api import _buckets
+
+    assert _buckets(17, 20, multiple=8) == 16
+    assert _buckets(3, 20, multiple=8) == 8
+    assert _buckets(17, 32, multiple=8) == 32
+    assert _buckets(5, 32, multiple=1) == 8
+    assert _buckets(100, 32, multiple=1) == 32

@@ -209,6 +209,10 @@ def test_trainer_checkpoint_resume(mini_coco, tmp_path):
                use_tensorboard=False, model_c=4, model_nof_joints=17,
                flip_test_images=False, checkpoint_path=ckpt_dir)
     assert t2.epoch == 1  # resumed epoch counter
+    # best-metric state survives the resume, so the first post-resume
+    # epoch can't silently overwrite params_best_* with a worse model
+    assert t2.best_loss == t1.best_loss
+    assert t2.best_acc == t1.best_acc
     # resumed params identical to saved ones
     a = jax.tree_util.tree_leaves(t1.params)
     b = jax.tree_util.tree_leaves(t2.params)
@@ -304,3 +308,37 @@ def test_native_decode_with_flip_augmentation(mini_coco):
     assert np.abs(img - img_cv).mean() < 0.02  # sub-LSB decode/interp diffs
     np.testing.assert_allclose(tgt, tgt_cv, atol=1e-6)
     np.testing.assert_allclose(meta['joints'], meta_cv['joints'], atol=1e-4)
+
+
+def test_mesh_eval_partial_batches(mini_coco, tmp_path):
+    """Validation/Test under a mesh must survive batches whose size isn't
+    mesh-divisible: the final partial val batch, and Test's default
+    batch_size=1. The harness pads by repeating the last sample and trims
+    the outputs (loss for that one batch includes the duplicates)."""
+    from simple_hrnet_tpu.data.coco import COCODataset
+    from simple_hrnet_tpu.parallel import make_mesh
+    from simple_hrnet_tpu.train.test import Test
+    from simple_hrnet_tpu.train.trainer import Train
+
+    ds = COCODataset(root_path=mini_coco, data_version='train2017',
+                     is_train=False, image_width=64, image_height=64)
+    ds_val = COCODataset(root_path=mini_coco, data_version='train2017',
+                         is_train=False, image_width=64, image_height=64)
+    ds_val.data = ds_val.data[:5]  # 5 % 8 != 0 -> one partial batch
+
+    mesh = make_mesh(8)
+    t = Train(exp_name='meshpad', ds_train=ds, ds_val=ds_val, epochs=1,
+              batch_size=8, num_workers=0, lr=1e-3, lr_decay=False,
+              optimizer='Adam', log_path=str(tmp_path),
+              use_tensorboard=False, model_c=4, model_nof_joints=17,
+              flip_test_images=False, mesh=mesh)
+    t.run()
+    assert np.isfinite(t.mean_loss_val)
+    # base Train never produced an overall-mAP metric: no best_mAP file
+    assert 'params_best_mAP.npz' not in os.listdir(t.log_path)
+    assert 'params_best_loss.npz' in os.listdir(t.log_path)
+
+    tst = Test(ds_val, batch_size=1, num_workers=0, model_c=4,
+               model_nof_joints=17, flip_test_images=False, mesh=mesh)
+    loss, acc = tst.run()  # every batch is 1 -> padded to 8 each step
+    assert np.isfinite(loss) and 0.0 <= acc <= 1.0

@@ -116,3 +116,52 @@ def test_mpii_pckh_eval(tmp_path):
     stats2, mean2 = ds.evaluate_overall_accuracy(
         preds2, None, None, output_dir=str(tmp_path / 'out'))
     assert mean2 < 1.0 and stats2['Ankle'] == 1.0
+
+
+def test_mpii_pckh_index_matched_eval(tmp_path):
+    """PCKh matches predictions to annotations by dataset row id: a
+    shuffled prediction order with indices gives the same (perfect)
+    score, while positional matching of the same shuffle degrades —
+    the bug class MPIITrain hit with its shuffled train loader."""
+    from simple_hrnet_tpu.data.mpii import MPIIDataset
+
+    root = _make_mpii_root(tmp_path, n=4)
+    ds = MPIIDataset(root_path=root, data_version='train', is_train=False)
+    preds = np.stack([np.concatenate(
+        [d['joints'], np.ones((16, 1))], axis=1) for d in ds.data])
+
+    perm = np.asarray([2, 0, 3, 1])
+    stats, mean = ds.evaluate_overall_accuracy(
+        preds[perm], None, None, output_dir=str(tmp_path / 'o'),
+        indices=perm)
+    assert mean == 1.0
+
+    stats_pos, mean_pos = ds.evaluate_overall_accuracy(
+        preds[perm], None, None, output_dir=str(tmp_path / 'o'))
+    assert mean_pos < 1.0  # positional matching scores the wrong samples
+
+
+def test_mpii_train_shuffled_pckh(tmp_path):
+    """MPIITrain's train-set PCKh must survive the shuffled drop_last
+    loader: every batch carries joints_data['index'] and the trainer
+    evaluates against those rows."""
+    from simple_hrnet_tpu.data.mpii import MPIIDataset
+    from simple_hrnet_tpu.train.trainer import MPIITrain
+
+    root = _make_mpii_root(tmp_path, n=6)
+    ds_tr = MPIIDataset(root_path=root, data_version='train', is_train=True,
+                        image_width=64, image_height=64)
+    ds_val = MPIIDataset(root_path=root, data_version='train',
+                         is_train=False, image_width=64, image_height=64)
+    t = MPIITrain('idx_t', ds_tr, ds_val, epochs=1, batch_size=4,
+                  num_workers=0, model_c=16, model_nof_joints=16,
+                  use_tensorboard=False, flip_test_images=False,
+                  log_path=str(tmp_path / 'logs'), lr=1e-4, seed=3)
+    t.run()
+    # after run() the accumulator holds the LAST phase (val: ordered,
+    # no drop_last -> all 6 rows in dataset order)
+    assert t._indices == list(range(6))
+    # the train phase (shuffled drop_last -> some 4 of the 6 rows) must
+    # still have produced a well-defined PCKh via its collected indices
+    assert 0.0 <= t.mean_mAP_train <= 1.0
+    assert 0.0 <= t.mean_mAP_val <= 1.0

@@ -249,3 +249,17 @@ def test_winograd_conv_matches_direct(rng):
     got = W.conv3x3_winograd(x, W.transform_kernel(k))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-5)
+
+
+def test_resize_linear_upscale_matches_cv2(rng):
+    """Whole-frame resize_linear == cv2.INTER_LINEAR including the UPSCALE
+    border (edge-clamped taps; the gather-based fallback zero-fills there,
+    which is why the facade's 'linear' mode must route here)."""
+    import cv2
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.ops import image as I
+
+    img = rng.uniform(0, 255, (24, 18, 3)).astype(np.float32)
+    out = np.asarray(I.resize_linear(jnp.asarray(img), (96, 72)))
+    ref = cv2.resize(img, (72, 96), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(out, ref, atol=2e-4)

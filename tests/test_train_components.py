@@ -414,3 +414,34 @@ def test_pckh_official_protocol():
     preds3[:, 9, :] += 1000.0
     out3 = M.evaluate_pckh(preds3, gts, vis, heads)
     assert out3['Mean'] < 1.0 and out3['Head'] == 0.0
+
+
+def test_bn_momentum_threaded_into_step(rng):
+    """Train's model_bn_momentum must actually reach the running-stat
+    update (it was silently dropped): momentum=1.0 makes the running mean
+    equal the batch mean, momentum=0.0 leaves it untouched."""
+    import jax
+    from simple_hrnet_tpu.models import hrnet
+    from simple_hrnet_tpu.train import losses, steps
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=4, nof_joints=5)
+    opt = steps.make_optimizer('SGD', lr=0.0, momentum=0.0)
+    batch = {
+        'image': rng.standard_normal((2, 64, 64, 3)).astype(np.float32),
+        'target': rng.uniform(0, 1, (2, 16, 16, 5)).astype(np.float32),
+        'target_weight': np.ones((2, 5, 1), np.float32),
+    }
+
+    before = np.asarray(params['bn1']['mean'])
+    outs = {}
+    for m in (0.0, 1.0):
+        step = steps.make_train_step(hrnet.apply, losses.joints_mse_loss,
+                                     opt, donate=False, bn_momentum=m)
+        p, _, _, _ = step(params, opt.init(params), batch)
+        outs[m] = np.asarray(p['bn1']['mean'])
+    np.testing.assert_array_equal(outs[0.0], before)   # momentum 0: frozen
+    assert not np.allclose(outs[1.0], before)          # momentum 1: batch
+
+    with pytest.raises(ValueError, match='serving-only'):
+        steps.make_train_step(hrnet.apply, losses.joints_mse_loss, opt,
+                              dtype='int8')
