@@ -16,7 +16,6 @@ assumes (models_/detectors/YOLOv3.py:131).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -146,20 +145,37 @@ def parse_cfg(path: str) -> List[Block]:
         if name in ('net', 'network'):
             continue
         if name == 'convolutional':
+            act = sec.get('activation', 'linear')
+            if act not in ('linear', 'leaky', 'relu', 'logistic', 'mish',
+                           'swish', 'silu'):
+                # fail at parse time — an unknown activation silently
+                # treated as linear produces garbage detections
+                raise ValueError(
+                    f'Unsupported darknet activation {act!r} (supported: '
+                    'linear, leaky, relu, logistic, mish, swish/silu)')
+            size = int(sec['size'])
+            if 'padding' in sec:  # darknet's explicit padding= overrides
+                pad = int(sec['padding'])
+            else:
+                pad = (size - 1) // 2 if sec.get('pad') == '1' else 0
             blocks.append({
                 'type': 'convolutional',
                 'filters': int(sec['filters']),
-                'size': int(sec['size']),
+                'size': size,
                 'stride': int(sec.get('stride', 1)),
-                'pad': (int(sec['size']) - 1) // 2 if sec.get('pad') == '1' else 0,
+                'pad': pad,
                 'bn': sec.get('batch_normalize') == '1',
-                'activation': sec.get('activation', 'linear'),
+                'activation': act,
             })
         elif name == 'shortcut':
             blocks.append({'type': 'shortcut', 'from': int(sec['from'])})
         elif name == 'route':
             layers = [int(x) for x in sec['layers'].split(',')]
-            blocks.append({'type': 'route', 'layers': layers})
+            blk: Block = {'type': 'route', 'layers': layers}
+            if 'groups' in sec:  # yolov4-tiny channel-split routes
+                blk['groups'] = int(sec['groups'])
+                blk['group_id'] = int(sec.get('group_id', 0))
+            blocks.append(blk)
         elif name == 'upsample':
             blocks.append({'type': 'upsample', 'stride': int(sec['stride'])})
         elif name == 'maxpool':
@@ -194,30 +210,26 @@ def output_channels(blocks: List[Block]) -> List[int]:
             total = 0
             for l in blk['layers']:
                 total += chans[l if l >= 0 else i + l]
-            chans.append(total)
+            chans.append(total // blk.get('groups', 1))
     return chans
 
 
 def init(key, blocks: List[Block], in_channels: int = 3) -> Params:
     """Random params for a darknet graph; keys are ``conv_<layer_idx>``."""
+    from simple_hrnet_tpu.models import layers as L
     chans = output_channels(blocks)
     params: Params = {}
     prev_c = in_channels
     for i, blk in enumerate(blocks):
         if blk['type'] == 'convolutional':
             key, sub = jax.random.split(key)
-            k = blk['size']
-            fan_in = prev_c * k * k
-            bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
-            node: Params = {'kernel': jax.random.uniform(
-                sub, (k, k, prev_c, blk['filters']), jnp.float32, -bound, bound)}
+            # shared torch-default init (models/layers.py — one home for
+            # the kaiming_uniform(a=sqrt(5)) bound arithmetic)
+            node: Params = dict(L.init_conv(sub, blk['size'], prev_c,
+                                            blk['filters'],
+                                            bias=not blk['bn']))
             if blk['bn']:
-                node['bn'] = {'scale': jnp.ones((blk['filters'],)),
-                              'bias': jnp.zeros((blk['filters'],)),
-                              'mean': jnp.zeros((blk['filters'],)),
-                              'var': jnp.ones((blk['filters'],))}
-            else:
-                node['bias'] = jnp.zeros((blk['filters'],))
+                node['bn'] = L.init_bn(blk['filters'])
             params[f'conv_{i}'] = node
         prev_c = chans[i]
     return params
@@ -297,8 +309,10 @@ def stem_phaseable(blocks: List[Block]) -> bool:
     if not (down_conv or down_pool):
         return False
     for i, blk in enumerate(blocks):
-        if blk['type'] == 'shortcut' and i + blk['from'] == 0:
-            return False
+        if blk['type'] == 'shortcut':
+            f = blk['from']
+            if (f if f >= 0 else i + f) == 0:
+                return False
         if blk['type'] == 'route':
             if any((l if l >= 0 else i + l) == 0 for l in blk['layers']):
                 return False
@@ -350,7 +364,8 @@ def phase_stem_params(params: Params, blocks: List[Block] = None) -> Params:
 
 
 def _yolo_decode(x: jnp.ndarray, blk: Block, img_size: int) -> jnp.ndarray:
-    """Decode one YOLO head: (N, g, g, 3*(5+C)) -> (N, 3*g*g, 5+C).
+    """Decode one YOLO head: (N, g, g, A*(5+C)) -> (N, A*g*g, 5+C) where
+    A = len(mask) (3 for every yolov3-family head).
 
     Box decode (cx, cy, w, h in input pixels), sigmoid objectness and class
     scores — the format the reference's non_max_suppression consumes.
@@ -358,8 +373,9 @@ def _yolo_decode(x: jnp.ndarray, blk: Block, img_size: int) -> jnp.ndarray:
     n, gh, gw, _ = x.shape
     n_cls = blk['classes']
     anchors = jnp.asarray([blk['anchors'][m] for m in blk['mask']], jnp.float32)
+    na = len(blk['mask'])
     stride = img_size / gw
-    x = x.reshape(n, gh, gw, 3, 5 + n_cls)
+    x = x.reshape(n, gh, gw, na, 5 + n_cls)
     cy = jnp.arange(gh, dtype=jnp.float32)[None, :, None, None]
     cx = jnp.arange(gw, dtype=jnp.float32)[None, None, :, None]
     bx = (jax.nn.sigmoid(x[..., 0]) + cx) * stride
@@ -371,7 +387,7 @@ def _yolo_decode(x: jnp.ndarray, blk: Block, img_size: int) -> jnp.ndarray:
     out = jnp.concatenate(
         [jnp.stack([bx, by, bw, bh, obj], axis=-1), cls], axis=-1)
     # match the darknet flatten order: (anchor, gy, gx)
-    return out.transpose(0, 3, 1, 2, 4).reshape(n, 3 * gh * gw, 5 + n_cls)
+    return out.transpose(0, 3, 1, 2, 4).reshape(n, na * gh * gw, 5 + n_cls)
 
 
 def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
@@ -404,14 +420,31 @@ def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
                          dtype=dtype)
             if 'bn' in node:
                 y = L.batch_norm(y, node['bn'])
-            if blk['activation'] == 'leaky':
+            act = blk['activation']
+            if act == 'leaky':
                 y = jax.nn.leaky_relu(y, 0.1)
+            elif act == 'relu':
+                y = jnp.maximum(y, 0)
+            elif act == 'logistic':
+                y = jax.nn.sigmoid(y)
+            elif act == 'mish':
+                y = y * jnp.tanh(jax.nn.softplus(y))
+            elif act in ('swish', 'silu'):
+                y = y * jax.nn.sigmoid(y)
+            # 'linear': identity; parse_cfg rejects anything else
             x = y
         elif t == 'shortcut':
-            x = x + outputs[i + blk['from']]
+            # darknet semantics: negative from = relative, >=0 = absolute
+            f = blk['from']
+            x = x + outputs[f if f >= 0 else i + f]
         elif t == 'route':
             feats = [outputs[l if l >= 0 else i + l] for l in blk['layers']]
             x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+            g = blk.get('groups', 1)
+            if g > 1:  # yolov4-tiny: route keeps one channel group
+                cg = x.shape[-1] // g
+                gid = blk.get('group_id', 0)
+                x = x[..., gid * cg:(gid + 1) * cg]
         elif t == 'upsample':
             x = L.upsample_nearest(x, blk['stride'])
         elif t == 'maxpool':
@@ -432,11 +465,16 @@ def apply(params: Params, blocks: List[Block], x: jnp.ndarray,
                     (1, blk['size'], blk['size'], 1), (1, 1, 1, 1),
                     [(0, 0), (0, blk['size'] - 1), (0, blk['size'] - 1), (0, 0)])
             else:
+                # torch-submodule semantics (the parity target): MaxPool2d
+                # with padding=(size-1)//2 — 0 for the even windows the
+                # built-in cfgs use, but non-zero for e.g. size-3 pools
+                # in user cfgs
+                mp = (blk['size'] - 1) // 2
                 x = jax.lax.reduce_window(
                     x, -jnp.inf, jax.lax.max,
                     (1, blk['size'], blk['size'], 1),
                     (1, blk['stride'], blk['stride'], 1),
-                    [(0, 0), (0, 0), (0, 0), (0, 0)])
+                    [(0, 0), (mp, mp), (mp, mp), (0, 0)])
         elif t == 'yolo':
             detections.append(_yolo_decode(x.astype(jnp.float32), blk, img_size))
         outputs.append(x)

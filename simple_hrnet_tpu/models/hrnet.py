@@ -76,7 +76,11 @@ def apply_stage_module(p: Params, xs: List[jnp.ndarray], n_branches: int,
     xs = list(xs)
     for b in range(n_branches):
         chain_key = f'{path}.branches.{b}'
-        if fused_chains is not None and chain_key in fused_chains:
+        # inference-only: the packed weights are frozen folded-BN
+        # constants — routing a TRAINING forward through them would
+        # record no batch stats and zero the branch's gradients
+        if (fused_chains is not None and chain_key in fused_chains
+                and not kw.get('train')):
             from simple_hrnet_tpu.ops.pallas.fused_block import (
                 blockdiag_chain, fused_basic_chain)
             mode, wts, bias = fused_chains[chain_key]

@@ -176,8 +176,12 @@ def relu(x: jnp.ndarray) -> jnp.ndarray:
 def max_pool(x: jnp.ndarray, *, window: int = 3, stride: int = 2,
              padding: int = 1) -> jnp.ndarray:
     """Max pooling with torch padding semantics (pad with -inf)."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        pad_val = -jnp.inf  # any float dtype: true -inf, torch semantics
+    else:
+        pad_val = jnp.iinfo(x.dtype).min  # finfo would reject int dtypes
     return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.finfo(x.dtype).min,
+        x, pad_val,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
@@ -270,7 +274,10 @@ def init_conv(key, k: int, c_in: int, c_out: int, bias: bool = False) -> Params:
     """Kaiming-uniform fan_in init, the torch nn.Conv2d default."""
     wkey, bkey = jax.random.split(key)
     fan_in = c_in * k * k
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)  # kaiming_uniform(a=sqrt(5))
+    # torch kaiming_uniform_(a=sqrt(5)): gain = sqrt(2/(1+5)) = sqrt(1/3),
+    # bound = sqrt(3) * gain / sqrt(fan_in) = 1/sqrt(fan_in). (An earlier
+    # revision dropped the gain factor and was sqrt(3)x too wide.)
+    bound = 1.0 / math.sqrt(fan_in)
     p = {'kernel': jax.random.uniform(wkey, (k, k, c_in, c_out), jnp.float32,
                                       -bound, bound)}
     if bias:

@@ -159,10 +159,15 @@ def nms_numpy(dets: np.ndarray, thresh: float) -> list:
     """
     if dets.shape[0] == 0:
         return []
+    # ONE dtype for both paths: the native kernel computes in float32, so
+    # the numpy fallback must too — otherwise an IoU straddling thresh
+    # within f32 rounding gives environment-dependent keep sets (same
+    # call, different answer on hosts without a C++ toolchain)
+    dets = np.ascontiguousarray(dets, np.float32)
     lib = _native_nms()
     if lib is not None:
         import ctypes
-        d = np.ascontiguousarray(dets, np.float32)
+        d = dets
         keep = np.zeros(dets.shape[0], np.int32)
         n = lib.cpu_nms(d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                         d.shape[0], ctypes.c_float(thresh),
@@ -214,6 +219,11 @@ def oks_iou(g, d, a_g, a_d, sigmas=None, in_vis_thre=None):
         dy = yd - yg
         e = (dx ** 2 + dy ** 2) / variances / ((a_g + a_d[n_d]) / 2 + np.spacing(1)) / 2
         if in_vis_thre is not None:
+            # reference quirk preserved verbatim (nms.py:91): `and` of two
+            # non-empty lists returns the SECOND, so only detection
+            # visibility actually filters. (The eval-path reference has NO
+            # e<=29 outlier filter — that exists only in the tracking
+            # variant, utils.py:364 / utils/tracking.py.)
             ind = list(vg > in_vis_thre) and list(vd > in_vis_thre)
             e = e[ind]
         ious[n_d] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] != 0 else 0.0

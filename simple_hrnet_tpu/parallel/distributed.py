@@ -35,7 +35,7 @@ from typing import Any, Optional
 
 import jax
 
-from .mesh import Mesh, data_sharding
+from .mesh import Mesh
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -51,9 +51,16 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     if is_initialized():
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id, **kwargs)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id, **kwargs)
+    except RuntimeError as e:
+        # the docstring's promise must not rest on the is_initialized()
+        # private-API probe alone: swallow exactly the already-initialized
+        # case, re-raise everything else
+        if 'already initialized' not in str(e).lower():
+            raise
 
 
 def is_initialized() -> bool:
@@ -75,14 +82,12 @@ def process_index() -> int:
 def global_batch(batch: Any, mesh: Mesh, axis: str = 'data') -> Any:
     """Assemble a globally-sharded batch from per-process local shards.
 
-    ``batch`` is a pytree of host numpy arrays holding THIS process's rows
-    of the global batch (global rows = local rows x process_count, in
-    process order). Single-process this is equivalent to
-    :func:`~simple_hrnet_tpu.parallel.shard_batch`.
+    Thin alias of :func:`~simple_hrnet_tpu.parallel.shard_batch`, which is
+    already process-count aware (ONE implementation of cross-host batch
+    assembly — mesh.py); kept for the name's documentation value.
     """
-    sharding = data_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda a: jax.make_array_from_process_local_data(sharding, a), batch)
+    from .mesh import shard_batch
+    return shard_batch(batch, mesh, axis)
 
 
 def _selftest(coordinator: str, num_processes: int, process_id: int,

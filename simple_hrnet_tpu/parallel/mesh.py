@@ -33,6 +33,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
             raise ValueError(
                 f'need {n_devices} devices, have {len(devices)} '
                 f'(set --xla_force_host_platform_device_count for CPU tests)')
+        if n_devices < len(devices) and jax.process_count() > 1:
+            # a prefix slice of the GLOBAL device list can exclude every
+            # device some process owns — that process would then build
+            # shardings it holds no shards of and fail (or silently drop
+            # its data) at the first batch
+            raise ValueError(
+                f'n_devices={n_devices} < {len(devices)} global devices '
+                f'in a {jax.process_count()}-process job: a prefix mesh '
+                'would exclude some hosts\' devices; use the full mesh '
+                '(n_devices=None) in multi-process jobs')
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -31,8 +31,20 @@ SEP = '|'  # path separator in flattened npz keys ('.' appears in no key names)
 def _flatten(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
     flat: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree:
+            # an empty subtree would silently VANISH from the npz and
+            # KeyError only after reload — reject at save time
+            raise ValueError(f'cannot save empty dict at {prefix[:-1]!r}')
         for k, v in tree.items():
             flat.update(_flatten(v, f'{prefix}{k}{SEP}'))
+    elif isinstance(tree, (list, tuple)):
+        # np.asarray would stack same-shape entries into ONE array and the
+        # reload would not round-trip the container — the npz format is
+        # dicts-of-arrays only (orbax save_train handles general pytrees)
+        raise TypeError(
+            f'npz checkpoints hold nested dicts of arrays only; got '
+            f'{type(tree).__name__} at {prefix[:-1]!r} (use save_train '
+            f'for general pytrees such as optimizer state)')
     else:
         flat[prefix[:-1]] = np.asarray(tree)
     return flat

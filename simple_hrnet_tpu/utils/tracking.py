@@ -40,9 +40,11 @@ def oks_iou_yx(g: np.ndarray, d: np.ndarray, a_g: float, a_d: np.ndarray,
                sigmas=None, in_vis_thre=None) -> np.ndarray:
     """OKS with (y, x, conf) joint layout (reference utils.py:341-368).
 
-    Note the reference filter ``e <= 2^32 - 1`` is a typo (^ is XOR, so the
-    bound is 34); we keep the honest no-op filter instead — exp(-e) of any
-    e > 34 is 0 to float precision, so results are identical.
+    The reference's outlier filter ``e = e[e <=2^32 -1]`` resolves to
+    ``e <= 29`` (^ is XOR and binds looser than -) and is NOT a no-op:
+    dropped joints shrink the mean's denominator, so it must be ported
+    (see the inline comment). The visibility filter quirk is ported
+    verbatim too.
     """
     if sigmas is None:
         sigmas = (COCO_SIGMAS if d.shape[1] == 17
@@ -55,8 +57,17 @@ def oks_iou_yx(g: np.ndarray, d: np.ndarray, a_g: float, a_d: np.ndarray,
         e = ((xd - xg) ** 2 + (yd - yg) ** 2) / variances \
             / ((a_g + a_d[n_d]) / 2 + np.spacing(1)) / 2
         if in_vis_thre is not None:
+            # reference quirk preserved verbatim: `and` of two non-empty
+            # lists returns the SECOND list, so only detection visibility
+            # actually filters (utils.py:361-362)
             ind = list(vg > in_vis_thre) and list(vd > in_vis_thre)
             e = e[ind]
+        # reference utils.py:364 `e = e[e <=2^32 -1]`: ^ is XOR and binds
+        # looser than -, so the bound is 2 ^ (32-1) = 29. The filter
+        # matters: far-off joints leave the mean's DENOMINATOR too (one
+        # 200 px outlier: 0.952 with the filter vs 0.896 without), which
+        # shifts the blended tracking similarity around its 0.5 gate.
+        e = e[e <= 29]
         ious[n_d] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] else 0.0
     return ious
 

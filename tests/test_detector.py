@@ -381,3 +381,91 @@ def test_yolov3_phase_stem_detect_parity(rng):
         if a is not None:
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_parse_cfg_extended_semantics(tmp_path, rng):
+    """User-cfg robustness (review round 5): mish/logistic activations
+    actually apply (were silently linear), route groups split channels
+    (yolov4-tiny), shortcut 'from' >= 0 is an absolute index, and an
+    unknown activation fails at PARSE time, not as garbage detections."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.detectors import darknet
+
+    cfg = tmp_path / 'toy.cfg'
+    cfg.write_text("""
+[net]
+width=32
+height=32
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=logistic
+
+[shortcut]
+from=0
+activation=linear
+
+[route]
+layers=-1
+groups=2
+group_id=1
+
+[convolutional]
+filters=6
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0
+anchors=10,14, 23,27, 37,58
+classes=1
+""")
+    blocks = darknet.parse_cfg(str(cfg))
+    assert blocks[2]['from'] == 0
+    assert blocks[3]['groups'] == 2 and blocks[3]['group_id'] == 1
+    chans = darknet.output_channels(blocks)
+    assert chans[3] == 4  # 8 channels route-split into 2 groups
+
+    params = darknet.init(jax.random.PRNGKey(0), blocks)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    out = darknet.apply(params, blocks, x, img_size=32)
+    assert out.shape == (1, 32 * 32, 6)  # 1 masked anchor, 1 class
+    assert np.isfinite(np.asarray(out)).all()
+
+    # the activations must actually be APPLIED (they were silently
+    # dropped to linear before): the same weights under an all-linear
+    # parse must produce different detections
+    blocks_lin = [dict(b) for b in blocks]
+    for b in blocks_lin:
+        if b.get('activation') in ('mish', 'logistic'):
+            b['activation'] = 'linear'
+    out_lin = darknet.apply(params, blocks_lin, x, img_size=32)
+    assert not np.allclose(np.asarray(out), np.asarray(out_lin))
+
+    bad = tmp_path / 'bad.cfg'
+    bad.write_text("""
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=hardswish
+""")
+    import pytest
+    with pytest.raises(ValueError, match='hardswish'):
+        darknet.parse_cfg(str(bad))

@@ -130,3 +130,70 @@ def test_fold_batch_norm_key_order_insensitive(rng):
     x = np.asarray(rng.standard_normal((1, 8, 8, 8)), np.float32)
     np.testing.assert_allclose(np.asarray(L.basic_block(f1, x)),
                                np.asarray(L.basic_block(f2, x)), atol=1e-6)
+
+
+def test_init_conv_matches_torch_bound(rng):
+    """init_conv's uniform bound must equal torch nn.Conv2d's default
+    kaiming_uniform(a=sqrt(5)) bound of 1/sqrt(fan_in) — an earlier
+    revision dropped the sqrt(1/3) gain and was sqrt(3)x too wide."""
+    import jax
+    from simple_hrnet_tpu.models import layers as L
+
+    k, c_in, c_out = 3, 64, 64
+    fan_in = c_in * k * k
+    bound = 1.0 / np.sqrt(fan_in)
+
+    p = L.init_conv(jax.random.PRNGKey(0), k, c_in, c_out, bias=True)
+    w = np.asarray(p['kernel'])
+    assert np.abs(w).max() <= bound * 1.0001
+    assert np.abs(w).max() >= bound * 0.99       # 36k samples fill the range
+    assert abs(w.std() - bound / np.sqrt(3)) < 0.02 * bound  # uniform std
+    b = np.asarray(p['bias'])
+    assert np.abs(b).max() <= 1.0 / np.sqrt(fan_in) * 1.0001
+
+    # torch cross-check on the same geometry
+    import torch
+    torch.manual_seed(0)
+    tw = torch.nn.Conv2d(c_in, c_out, k).weight.detach().numpy()
+    assert abs(np.abs(tw).max() - np.abs(w).max()) < 0.05 * bound
+
+    # the darknet init shares the same arithmetic (it reuses init_conv)
+    from simple_hrnet_tpu.detectors import darknet
+    params = darknet.init(jax.random.PRNGKey(1),
+                          darknet.yolov3_tiny_blocks())
+    w0 = np.asarray(params['conv_0']['kernel'])   # 3x3x3 -> fan_in 27
+    assert np.abs(w0).max() <= 1.0 / np.sqrt(27) * 1.0001
+
+
+def test_fused_chains_ignored_in_train_mode(rng):
+    """The inference-only packed-chain fast path must NOT engage under
+    train=True (frozen folded constants would zero branch gradients and
+    record no BN stats): garbage chain entries are never touched."""
+    import jax
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import hrnet
+
+    params = hrnet.init(jax.random.PRNGKey(0), c=4, nof_joints=5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    junk = {f'stage{s}.{m}.branches.{b}': ('blockdiag', object(), object())
+            for s in (2, 3, 4) for m in range(4) for b in range(4)}
+
+    stats = {}
+    out = hrnet.apply(params, x, train=True, stats=stats,
+                      fused_chains=junk)   # junk untouched => gated off
+    assert out.shape[0] == 2 and out.shape[-1] == 5
+    assert any('branches' in k for k in stats)  # branch BNs recorded
+
+    with pytest.raises(Exception):
+        # sanity: in EVAL mode the junk chains WOULD be dereferenced
+        hrnet.apply(params, x, train=False, fused_chains=junk)
+
+
+def test_max_pool_integer_dtype():
+    import jax.numpy as jnp
+    from simple_hrnet_tpu.models import layers as L
+
+    x = jnp.arange(16, dtype=jnp.int32).reshape(1, 4, 4, 1)
+    y = L.max_pool(x, window=3, stride=2, padding=1)
+    assert y.shape == (1, 2, 2, 1)
+    assert int(y[0, 1, 1, 0]) == 15

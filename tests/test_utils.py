@@ -417,3 +417,64 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert os.path.isdir(path)
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
+
+
+def test_oks_iou_yx_outlier_filter(rng):
+    """The reference's `e = e[e <=2^32 -1]` filter (utils.py:364) resolves
+    to e <= 29 (^ is XOR) and is NOT a no-op: dropped joints leave the
+    mean's DENOMINATOR. Replicate the reference arithmetic inline (munkres
+    is not installed, so the module itself cannot import here)."""
+    from simple_hrnet_tpu.ops.nms import COCO_SIGMAS
+    from simple_hrnet_tpu.utils import tracking as T
+
+    g = rng.uniform(50, 150, (17, 3)).astype(np.float64)
+    d = g[None].copy()
+    d[0, 0, :2] += 200.0  # one far-off joint -> its e >> 29
+    a = 80.0 * 80.0
+
+    got = T.oks_iou_yx(g, d, a, np.asarray([a]))
+
+    variances = (np.asarray(COCO_SIGMAS) * 2) ** 2
+    e = (((d[0, :, 1] - g[:, 1]) ** 2 + (d[0, :, 0] - g[:, 0]) ** 2)
+         / variances / ((a + a) / 2 + np.spacing(1)) / 2)
+    e = e[e <= 2 ^ 32 - 1]  # the reference's own expression == e <= 29
+    want = np.sum(np.exp(-e)) / e.shape[0]
+    np.testing.assert_allclose(got[0], want, rtol=1e-12)
+    # and the filter genuinely matters: the unfiltered mean is lower
+    e_all = (((d[0, :, 1] - g[:, 1]) ** 2 + (d[0, :, 0] - g[:, 0]) ** 2)
+             / variances / ((a + a) / 2 + np.spacing(1)) / 2)
+    unfiltered = np.sum(np.exp(-e_all)) / e_all.shape[0]
+    assert got[0] > unfiltered + 0.01
+
+
+def test_npz_checkpoint_rejects_non_dict_containers(tmp_path):
+    """npz save() must reject list/tuple/empty-dict subtrees loudly —
+    np.asarray would silently stack same-shape list entries into one
+    array and the reload would not round-trip."""
+    import pytest
+    from simple_hrnet_tpu.utils import checkpoint as ckpt
+
+    with pytest.raises(TypeError, match='list'):
+        ckpt.save(str(tmp_path / 'a.npz'),
+                  {'branches': [np.zeros((2, 2)), np.zeros((2, 2))]})
+    with pytest.raises(ValueError, match='empty'):
+        ckpt.save(str(tmp_path / 'b.npz'), {'head': {}})
+
+
+def test_nms_numpy_f32_both_paths(rng):
+    """nms_numpy computes in float32 on BOTH the native and the numpy
+    path, so keep sets cannot depend on whether libnms.so built."""
+    from simple_hrnet_tpu.ops import nms as N
+
+    dets = rng.uniform(0, 200, (32, 5)).astype(np.float64)
+    dets[:, 2:4] = dets[:, 0:2] + rng.uniform(20, 80, (32, 2))
+    dets[:, 4] = rng.uniform(0, 1, 32)
+    keep_native = N.nms_numpy(dets, 0.45)
+    # force the pure-numpy fallback
+    lib = N._native_nms
+    try:
+        N._native_nms = lambda: None
+        keep_numpy = N.nms_numpy(dets, 0.45)
+    finally:
+        N._native_nms = lib
+    assert keep_native == keep_numpy
